@@ -1,0 +1,312 @@
+"""SGLD / SGD / Stiefel-geodesic SGLD (SGLDERM) — the main sampler family (L3).
+
+Capability parity with the reference's samplers:
+
+- ``GPTregression``     (``GPT_SGLD.jl:344-448``)  — SGLD on w + SGLDERM on U
+- ``GPNT_SGLD``         (``GPT_SGLD.jl:806-847``)  — SGLD on θ with step decay
+- ``GPNT_SGLDclass``    (``GPT_SGLD.jl:849-901``)  — softmax classification
+- ``GPT_SGLDERMw``      (``GPT_SGLD.jl:1065-1118``) — SGLD on w, U frozen
+- ``langevin=False`` flags throughout — plain SGD/gradient ascent
+- ``GPT_SGLDERM_RMSprop`` (``GPT_SGLD.jl:1121-1237``) — RMSprop preconditioner
+
+One generic manifold-aware transition kernel replaces them all: the model
+supplies ``log_lik``/``log_prior``/``manifolds`` and the kernel applies, per
+parameter leaf,
+
+    Euclidean:  x  ← x + ε·∇/2 + √ε·ξ
+    Stiefel:    U  ← transport(U, proj_U(√ε·∇/2 + ξ), √ε)
+
+exactly the reference's update laws (``GPT_SGLD.jl:410-439``). ``transport``
+is the exact geodesic (parity) or the Cayley retraction (TPU-fast default for
+training; both stay on V_{n,r} to machine precision).
+
+TPU-first execution model: an entire training run — epoch shuffling,
+minibatching, gradient, manifold transport, thinned sample collection — is ONE
+jitted ``lax.scan`` over steps. Chains are vmapped leading axes; nothing here
+ever leaves the device. The reference's NaN-abort contract becomes per-step
+rejection counting (see ``utils.stiefel.guard``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gpt_tpu.utils import stiefel
+
+
+@dataclasses.dataclass(frozen=True)
+class SGLDConfig:
+    """Step sizes + flags for the SGLD family.
+
+    ``eps`` is either a scalar (all leaves) or a pytree-prefix matching the
+    params (e.g. ``TensorGPParams(w=1e-4, U=1e-7)`` — the reference's
+    ``epsw``/``epsU``). ``decay`` gives ``ε_t = ε·(t+1)^{−decay}``
+    (``GPT_SGLD.jl:833``). ``langevin=False`` disables injected noise (SGD
+    mode); ``transport`` picks the Stiefel update rule.
+    """
+
+    eps: Any
+    langevin: bool = True
+    transport: str = "geodesic"  # "geodesic" | "cayley" | "euclidean"
+    decay: float = 0.0
+    rmsprop: bool = False
+    rmsprop_alpha: float = 0.99
+    rmsprop_lambda: float = 1e-5
+
+
+class SGLDState(NamedTuple):
+    params: Any
+    key: jax.Array
+    step: jnp.ndarray  # scalar int32 — global step counter (for decay)
+    rejected: jnp.ndarray  # scalar int32 — NaN-rejected transport count
+    precond: Any  # RMSprop second-moment accumulator (or None-like zeros)
+
+
+def _broadcast_eps(eps, params):
+    """Broadcast a scalar or pytree-prefix of step sizes over param leaves."""
+    if isinstance(eps, (int, float)):
+        return jax.tree.map(lambda _: float(eps), params)
+    # pytree-prefix: rely on tree structure match (NamedTuple of scalars)
+    return jax.tree.map(
+        lambda e, p: e, eps, params,
+        is_leaf=lambda x: isinstance(x, (int, float)) or jnp.isscalar(x),
+    )
+
+
+def sgld_init(params, key, config: SGLDConfig) -> SGLDState:
+    precond = jax.tree.map(jnp.zeros_like, params) if config.rmsprop else None
+    return SGLDState(
+        params=params,
+        key=key,
+        step=jnp.zeros((), jnp.int32),
+        rejected=jnp.zeros((), jnp.int32),
+        precond=precond,
+    )
+
+
+def make_sgld_step(
+    grad_fn: Callable,
+    manifolds,
+    config: SGLDConfig,
+) -> Callable:
+    """Build the jittable transition kernel.
+
+    ``grad_fn(params, batch) -> grads`` must already include the N/m
+    minibatch scaling and the prior gradient (see :func:`run_sgld`).
+    Returns ``step(state, batch) -> state``.
+    """
+    eps_tree = config.eps
+
+    def step(state: SGLDState, batch) -> SGLDState:
+        key, sub = jax.random.split(state.key)
+        grads = grad_fn(state.params, batch)
+        eps = _broadcast_eps(eps_tree, state.params)
+        t = state.step.astype(jnp.float32) + 1.0
+        decay_factor = t ** (-config.decay) if config.decay else 1.0
+
+        # RMSprop preconditioner (GPT_SGLD.jl:1121-1237): per-element
+        # G ← αG + (1−α)g²; step scale 1/(λ+√G). For Stiefel leaves the
+        # geodesic needs a scalar time, so the per-matrix mean step is used
+        # (GPT_SGLD.jl:1206-1210).
+        if config.rmsprop:
+            new_precond = jax.tree.map(
+                lambda G, g: config.rmsprop_alpha * G
+                + (1 - config.rmsprop_alpha) * g * g,
+                state.precond,
+                grads,
+            )
+        else:
+            new_precond = state.precond
+
+        leaves_p, treedef = jax.tree.flatten(state.params)
+        leaves_g = treedef.flatten_up_to(grads)
+        leaves_m = treedef.flatten_up_to(manifolds)
+        leaves_e = treedef.flatten_up_to(eps)
+        leaves_G = treedef.flatten_up_to(new_precond) if config.rmsprop else [None] * len(leaves_p)
+        keys = jax.random.split(sub, len(leaves_p))
+
+        new_leaves = []
+        rejected = state.rejected
+        for p, g, man, e, G, k in zip(
+            leaves_p, leaves_g, leaves_m, leaves_e, leaves_G, keys
+        ):
+            e = jnp.asarray(e, p.dtype) * decay_factor
+            if config.rmsprop and G is not None:
+                scale = 1.0 / (config.rmsprop_lambda + jnp.sqrt(G))
+            else:
+                scale = None
+            if man == "stiefel":
+                # U is (..., D, n, r): independent transport per factor.
+                if scale is not None:
+                    # scalar step per factor matrix = mean of elementwise
+                    # RMSprop steps — geodesics need a scalar time
+                    # (GPT_SGLD.jl:1206-1210).
+                    e_mat = e * jnp.mean(scale, axis=(-2, -1))  # (...,)
+                else:
+                    e_mat = jnp.asarray(e, p.dtype)
+                sqe = jnp.sqrt(e_mat)  # scalar or (...,) per-matrix time
+                sqe_b = sqe[..., None, None] if sqe.ndim else sqe
+                noise = (
+                    jax.random.normal(k, p.shape, p.dtype)
+                    if config.langevin
+                    else jnp.zeros_like(p)
+                )
+                mom = stiefel.project_tangent(p, sqe_b * g / 2 + noise)
+                if config.transport == "cayley":
+                    newU = stiefel.cayley_retract(p, mom, sqe)
+                else:
+                    newU = stiefel.geodesic(p, mom, sqe)
+                newU, rej = stiefel.guard(newU, p)
+                rejected = rejected + jnp.sum(rej.astype(jnp.int32))
+                new_leaves.append(newU)
+            else:
+                drift = e * g / 2 if scale is None else e * scale * g / 2
+                if config.langevin:
+                    noise_scale = jnp.sqrt(e) if scale is None else jnp.sqrt(e * scale)
+                    drift = drift + noise_scale * jax.random.normal(k, p.shape, p.dtype)
+                newp = p + drift
+                # NaN guard (GPT_SGLD.jl:840-843): reject non-finite steps.
+                ok = jnp.all(jnp.isfinite(newp))
+                rejected = rejected + (~ok).astype(jnp.int32)
+                new_leaves.append(jnp.where(ok, newp, p))
+
+        new_params = jax.tree.unflatten(treedef, new_leaves)
+        return SGLDState(
+            params=new_params,
+            key=key,
+            step=state.step + 1,
+            rejected=rejected,
+            precond=new_precond,
+        )
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Full training runs: epoch shuffling + minibatching + thinned collection,
+# all inside one jitted scan.
+# ---------------------------------------------------------------------------
+
+
+def _pad_data(N: int, m: int):
+    """Static padding plan: B batches of size m covering N points."""
+    B = -(-N // m)
+    pad = B * m - N
+    return B, pad
+
+
+def _epoch_batches(key, N, B, m, pad):
+    """Shuffled batch index matrix (B, m) + weights (B, m); pad entries → 0.
+
+    Replaces the reference's in-place permutation + ragged last batch
+    (``GPT_SGLD.jl:373-381``) with static shapes: a permutation of [0, N)
+    padded with sentinel N, gathered from data arrays padded with one zero
+    row.
+    """
+    perm = jax.random.permutation(key, N)
+    idx = jnp.concatenate([perm, jnp.full((pad,), N, perm.dtype)])
+    weights = jnp.concatenate(
+        [jnp.ones((N,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+    )
+    return idx.reshape(B, m), weights.reshape(B, m)
+
+
+def run_sgld(
+    model,
+    params0,
+    key: jax.Array,
+    phi: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    m: int,
+    config: SGLDConfig,
+    burnin: int,
+    maxepoch: int,
+    collect_fn: Callable | None = None,
+):
+    """Run one SGLD chain; returns (final_state, collected, rejected).
+
+    Semantics of ``GPTregression``/``GPNT_SGLD``: per epoch, shuffle the data,
+    sweep minibatches of size ``m``, update with the manifold-aware SGLD law.
+    Collection is *thinned to epoch ends* — the reference stores every iterate
+    (``GPT_SGLD.jl:358-359``, Q×T and n×r×D×T arrays) but its experiments only
+    consume epoch-end samples and last-k averages (``kin40kExperiment.jl:78-87``),
+    so the framework streams instead of materialising.
+
+    ``collect_fn(params) -> pytree`` is evaluated at each post-burnin epoch
+    end (default: the params themselves). The whole run is one ``lax.scan``
+    over epochs (inner scan over batches) — a single XLA program.
+    """
+    N = y.shape[0]
+    B, pad = _pad_data(N, m)
+    phi_pad = jnp.concatenate([phi, jnp.zeros_like(phi[:1])], axis=0)
+    y_pad = jnp.concatenate([y, jnp.zeros_like(y[:1])], axis=0)
+
+    if collect_fn is None:
+        collect_fn = lambda p: p
+
+    def grad_fn(params, batch):
+        idx, wts = batch
+
+        def logp(p):
+            ll = model.log_lik(p, phi_pad[idx], y_pad[idx], weight=wts)
+            scale = N / jnp.maximum(jnp.sum(wts), 1.0)
+            return scale * ll + model.log_prior(p)
+
+        return jax.grad(logp)(params)
+
+    step = make_sgld_step(grad_fn, model.manifolds, config)
+
+    def epoch_body(state: SGLDState, _):
+        key, kperm = jax.random.split(state.key)
+        state = state._replace(key=key)
+        idx, wts = _epoch_batches(kperm, N, B, m, pad)
+
+        def batch_body(st, b):
+            return step(st, (idx[b], wts[b])), None
+
+        state, _ = jax.lax.scan(batch_body, state, jnp.arange(B))
+        return state, collect_fn(state.params)
+
+    state0 = sgld_init(params0, key, config)
+    final, collected = jax.lax.scan(epoch_body, state0, None, length=burnin + maxepoch)
+    collected = jax.tree.map(lambda a: a[burnin:], collected)
+    return final, collected
+
+
+def run_sgld_chains(
+    model,
+    params0_chains,
+    keys: jax.Array,
+    phi: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    m: int,
+    config: SGLDConfig,
+    burnin: int,
+    maxepoch: int,
+    collect_fn: Callable | None = None,
+):
+    """Vmap :func:`run_sgld` over a leading chain axis of params0/keys.
+
+    This is the reference's ``@parallel`` seed sweep
+    (``SynthDataExperiment.jl:44``, ``kin40kExperiment.jl:67``) turned into a
+    single batched XLA program; shard the chain axis over a device mesh with
+    ``gpt_tpu.parallel``.
+    """
+    run = partial(
+        run_sgld,
+        model,
+        phi=phi,
+        y=y,
+        m=m,
+        config=config,
+        burnin=burnin,
+        maxepoch=maxepoch,
+        collect_fn=collect_fn,
+    )
+    return jax.vmap(lambda p, k: run(p, k))(params0_chains, keys)

@@ -1,0 +1,76 @@
+"""The hot tensor-GP contraction chain (L2 compute core).
+
+This is the TPU-native replacement for the reference's hand-written kernel
+chain ``phidotU → computeV → computefhat`` (``GPT_SGLD.jl:192-230``) and its
+single compiled-native component, the C kernel ``M_func`` (``inf.R:47``):
+
+    temp[i, k, l] = ⟨φ^(k)(x_i), U^(k)_{·l}⟩          (phidot)
+    V[i, q]       = Π_k temp[i, k, I[q, k]]           (core_products)
+    fhat[i]       = ⟨V[i, :], w⟩                       (tensor_predict)
+
+Design notes (TPU-first):
+
+- ``phidot`` is one batched matmul ``(N·D, n) × (n, r)`` per dimension — a
+  single ``einsum`` that XLA maps onto the MXU.
+- ``core_products`` has two interchangeable implementations:
+  * ``gather``  — ``take_along_axis`` over the tiny r axis then a product
+    reduction over D (default; cheap for r ≤ ~50);
+  * ``onehot``  — contraction with a precomputed one-hot ``(Q, D, r)`` mask,
+    turning the gather into an MXU matmul (useful when Q and r are large).
+- The whole chain is differentiable; ``jax.grad`` through it reproduces the
+  reference's hand-derived ``computeU_phi/computeA/computePsi`` backward chain
+  (``GPT_SGLD.jl:245-286``) — verified by finite differences in
+  ``tests/test_models.py``.
+
+All functions broadcast over arbitrary leading batch axes of ``U``/``w`` (for
+vmapped chains).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def phidot(phi: jnp.ndarray, U: jnp.ndarray) -> jnp.ndarray:
+    """``temp[..., i, k, l] = ⟨φ[i, k, :], U[..., k, :, l]⟩``.
+
+    phi: ``(N, D, n)``; U: ``(..., D, n, r)`` → ``(..., N, D, r)``.
+    Reference: ``phidotU`` (``GPT_SGLD.jl:192-205``).
+    """
+    return jnp.einsum("idn,...dnr->...idr", phi, U)
+
+
+def core_indicator(I: jnp.ndarray, r: int, dtype=jnp.float32) -> jnp.ndarray:
+    """One-hot ``(Q, D, r)`` indicator of the core lattice locations."""
+    Q, D = I.shape
+    return (I[:, :, None] == jnp.arange(r)[None, None, :]).astype(dtype)
+
+
+def core_products(temp: jnp.ndarray, I: jnp.ndarray, *, mode: str = "gather") -> jnp.ndarray:
+    """``V[..., i, q] = Π_k temp[..., i, k, I[q, k]]``.
+
+    temp: ``(..., N, D, r)``; I: ``(Q, D)`` int → ``(..., N, Q)``.
+    Reference: ``computeV`` (``GPT_SGLD.jl:207-220``) / the C ``M_func``
+    (behaviour specified by the commented R at ``inf.R:37-46``).
+    """
+    if mode == "gather":
+        It = I.T.astype(jnp.int32)  # (D, Q)
+        idx = jnp.broadcast_to(It, temp.shape[:-1] + (It.shape[-1],))  # (..., N, D, Q)
+        g = jnp.take_along_axis(temp, idx, axis=-1)  # (..., N, D, Q)
+        return jnp.prod(g, axis=-2)
+    elif mode == "onehot":
+        onehot = core_indicator(I, temp.shape[-1], dtype=temp.dtype)
+        # g[..., i, d, q] = Σ_r temp[..., i, d, r] · onehot[q, d, r]  (MXU matmul per d)
+        g = jnp.einsum("...idr,qdr->...idq", temp, onehot)
+        return jnp.prod(g, axis=-2)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def tensor_predict(w: jnp.ndarray, U: jnp.ndarray, I: jnp.ndarray,
+                   phi: jnp.ndarray, *, mode: str = "gather") -> jnp.ndarray:
+    """Full chain ``fhat[..., i] = Σ_q w[..., q] · V[..., i, q]``.
+
+    Reference: ``pred`` (``GPT_SGLD.jl:232-243``).
+    """
+    temp = phidot(phi, U)
+    V = core_products(temp, I, mode=mode)
+    return jnp.einsum("...iq,...q->...i", V, w)

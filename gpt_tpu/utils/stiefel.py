@@ -1,0 +1,162 @@
+"""Stiefel-manifold geometry (L0).
+
+Capability parity with the reference's manifold layer (``GPT_SGLD.jl:14-59``):
+tangent projection, geodesic endpoint, geodesic with transported momentum, and
+uniform sampling from V_{n,r}. Everything here is pure JAX, jit/vmap-safe, and
+batched over arbitrary leading axes, so a (D, n, r) stack of factor matrices —
+or a (chains, D, n, r) stack — moves in one fused XLA program.
+
+TPU-first deviations from the reference:
+
+- The reference aborts a whole run with all-zero parameter stores when the
+  2r×2r matrix exponential produces NaN (``GPT_SGLD.jl:23-26``). Here the
+  geodesic simply returns its (possibly NaN) endpoint and samplers use
+  :func:`guard` to *reject the step* (keep the previous point) and count the
+  event — data-dependent aborts do not exist under ``jit``.
+- A Cayley retraction (Wen & Yin 2013, low-rank Sherman–Morrison–Woodbury
+  form) is provided as the MXU-friendly default transport: matmuls plus one
+  2r×2r solve, no matrix exponential. The exact geodesic remains available for
+  parity runs and for geodesic Monte Carlo, which needs momentum transport.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import expm as _expm
+
+
+def project_tangent(U: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
+    """Project ``V`` onto the tangent space of the Stiefel manifold at ``U``.
+
+    ``proj(U, V) = V - U (UᵀV + VᵀU) / 2`` (reference: ``GPT_SGLD.jl:14-16``).
+    Batched over leading axes of both arguments.
+    """
+    UtV = jnp.einsum("...ji,...jk->...ik", U, V)
+    sym = (UtV + jnp.swapaxes(UtV, -1, -2)) / 2
+    return V - jnp.einsum("...ij,...jk->...ik", U, sym)
+
+
+def _geodesic_blocks(U: jnp.ndarray, mom: jnp.ndarray, t) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared core: returns ([U mom] @ E, expm(-tA)) for the 2r×2r system.
+
+    The geodesic on V_{n,r} through ``U`` with tangent ``mom`` evaluates as
+    ``[U mom] · expm(t·[[A, -momᵀmom], [I, A]])[:, :r] · expm(-tA)`` with
+    ``A = Uᵀ mom`` (reference: ``GPT_SGLD.jl:19-37``; Edelman et al. 1998).
+    r is tiny (≤ ~50) so the expm is a small dense op; we vmap it over the
+    leading batch axes and let XLA batch the Padé evaluation.
+    """
+    r = U.shape[-1]
+    A = jnp.einsum("...ji,...jk->...ik", U, mom)  # UᵀM, (..., r, r)
+    MtM = jnp.einsum("...ji,...jk->...ik", mom, mom)  # MᵀM
+    eye = jnp.broadcast_to(jnp.eye(r, dtype=U.dtype), A.shape)
+    top = jnp.concatenate([A, -MtM], axis=-1)
+    bot = jnp.concatenate([eye, A], axis=-1)
+    block = jnp.concatenate([top, bot], axis=-2)  # (..., 2r, 2r)
+
+    t = jnp.asarray(t, dtype=U.dtype)
+    expm_fn = _expm
+    for _ in range(block.ndim - 2):
+        expm_fn = jax.vmap(expm_fn)
+    E = expm_fn(t[..., None, None] * block if t.ndim else t * block)
+    mexp = expm_fn(-t[..., None, None] * A if t.ndim else -t * A)
+
+    UM = jnp.concatenate([U, mom], axis=-1)  # (..., n, 2r)
+    return jnp.einsum("...nj,...jk->...nk", UM, E), mexp
+
+
+def _normalize_columns(U: jnp.ndarray) -> jnp.ndarray:
+    norm = jnp.sqrt(jnp.sum(U * U, axis=-2, keepdims=True))
+    return U / norm
+
+
+def geodesic(U: jnp.ndarray, mom: jnp.ndarray, t) -> jnp.ndarray:
+    """Geodesic endpoint on V_{n,r}; columns re-normalised to unit norm.
+
+    Matches the endpoint semantics of the reference's ``geod``
+    (``GPT_SGLD.jl:19-37``) minus the NaN→zeros abort: NaNs propagate and are
+    handled by :func:`guard` at the call site.
+    """
+    r = U.shape[-1]
+    UME, mexp = _geodesic_blocks(U, mom, t)
+    new_U = jnp.einsum("...nj,...jk->...nk", UME[..., :r], mexp)
+    return _normalize_columns(new_U)
+
+
+def geodesic_with_momentum(U: jnp.ndarray, mom: jnp.ndarray, t) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Geodesic endpoint and parallel-transported momentum.
+
+    Matches ``geodboth`` (``GPT_SGLD.jl:40-59``): the endpoint's columns are
+    re-normalised, the momentum is not.
+    """
+    r = U.shape[-1]
+    UME, mexp = _geodesic_blocks(U, mom, t)
+    new_U = jnp.einsum("...nj,...jk->...nk", UME[..., :r], mexp)
+    new_mom = jnp.einsum("...nj,...jk->...nk", UME[..., r:], mexp)
+    return _normalize_columns(new_U), new_mom
+
+
+def cayley_retract(U: jnp.ndarray, G: jnp.ndarray, t) -> jnp.ndarray:
+    """Cayley retraction along ascent direction ``G`` — the TPU-fast transport.
+
+    Wen & Yin (2013) low-rank form: with ``A = G − ½·U·(UᵀG)`` and the skew
+    matrix ``W = A Uᵀ − U Aᵀ``, the Cayley curve
+    ``Y(t) = (I − t/2·W)⁻¹ (I + t/2·W) U`` stays on the manifold (Y = QU with
+    orthogonal Q) and has initial velocity ``Ẏ(0) = W U = proj_U(G)`` — the
+    tangent projection of ``G``, exactly matching the geodesic's start. With
+    ``W = J Kᵀ``, ``J = [A, U]``, ``K = [U, −A]`` and the push-through
+    identity, only a 2r×2r solve is needed:
+    ``Y(t) = U + t·J (I − t/2·KᵀJ)⁻¹ Kᵀ U``.
+
+    This is a first-order-equivalent alternative to :func:`geodesic`
+    (matmul + small solve only; no expm), offered as the default for SGLD
+    where exact geodesics are unnecessary.
+    """
+    t = jnp.asarray(t, dtype=U.dtype)
+    A = G - 0.5 * jnp.einsum(
+        "...ni,...ij->...nj", U, jnp.einsum("...ni,...nj->...ij", U, G)
+    )
+    J = jnp.concatenate([A, U], axis=-1)  # (..., n, 2r)
+    K = jnp.concatenate([U, -A], axis=-1)  # (..., n, 2r)
+    KtJ = jnp.einsum("...ni,...nj->...ij", K, J)  # (..., 2r, 2r)
+    r2 = KtJ.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(r2, dtype=U.dtype), KtJ.shape)
+    tb = t[..., None, None] if t.ndim else t
+    M = eye - (tb / 2) * KtJ
+    KtU = jnp.einsum("...ni,...nk->...ik", K, U)  # (..., 2r, r)
+    sol = jnp.linalg.solve(M, KtU)
+    return U + tb * jnp.einsum("...nj,...jk->...nk", J, sol)
+
+
+def sample_stiefel(key: jax.Array, n: int, r: int, *, batch: tuple[int, ...] = (),
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """Sample uniformly (Haar) from the Stiefel manifold V_{n,r}.
+
+    ``U = Z (ZᵀZ)^{-1/2}`` with Gaussian ``Z`` — the same construction as the
+    reference's ``transpose((ZZᵀ)^{-1/2} Z)`` (``GPT_SGLD.jl:365-367``), done
+    with an r×r eigendecomposition instead of a dense ``sqrtm``.
+    """
+    Z = jax.random.normal(key, (*batch, n, r), dtype=dtype)
+    ZtZ = jnp.einsum("...ni,...nj->...ij", Z, Z)
+    vals, vecs = jnp.linalg.eigh(ZtZ)
+    inv_sqrt = jnp.einsum(
+        "...ij,...j,...kj->...ik", vecs, 1.0 / jnp.sqrt(vals), vecs
+    )
+    return jnp.einsum("...ni,...ij->...nj", Z, inv_sqrt)
+
+
+def guard(new: jnp.ndarray, old: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Reject non-finite transport results: keep ``old`` where ``new`` has NaN/Inf.
+
+    Replaces the reference's abort-with-zeros contract (``GPT_SGLD.jl:23-26``,
+    ``GPT_SGLD.jl:422-424``) with a per-matrix rejection + indicator that
+    samplers accumulate into a diagnostics counter.
+    """
+    finite = jnp.all(jnp.isfinite(new), axis=(-2, -1), keepdims=True)
+    return jnp.where(finite, new, old), ~finite.squeeze((-2, -1))
+
+
+def check_orthonormal(U: jnp.ndarray, atol: float = 1e-4) -> jnp.ndarray:
+    """Max deviation of UᵀU from the identity (diagnostic)."""
+    r = U.shape[-1]
+    UtU = jnp.einsum("...ni,...nj->...ij", U, U)
+    return jnp.max(jnp.abs(UtU - jnp.eye(r, dtype=U.dtype)))

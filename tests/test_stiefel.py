@@ -1,0 +1,117 @@
+"""Stiefel geometry tests: manifold invariants, geodesic properties, transport."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpt_tpu.utils import stiefel
+
+
+def _rand_point_tangent(key, n=12, r=4, batch=()):
+    k1, k2 = jax.random.split(key)
+    U = stiefel.sample_stiefel(k1, n, r, batch=batch)
+    V = jax.random.normal(k2, (*batch, n, r))
+    mom = stiefel.project_tangent(U, V)
+    return U, mom
+
+
+def test_sample_stiefel_orthonormal(key):
+    U = stiefel.sample_stiefel(key, 20, 5)
+    np.testing.assert_allclose(U.T @ U, np.eye(5), atol=1e-5)
+
+
+def test_sample_stiefel_batched(key):
+    U = stiefel.sample_stiefel(key, 10, 3, batch=(4, 2))
+    assert U.shape == (4, 2, 10, 3)
+    UtU = jnp.einsum("...ni,...nj->...ij", U, U)
+    np.testing.assert_allclose(UtU, np.broadcast_to(np.eye(3), (4, 2, 3, 3)), atol=1e-5)
+
+
+def test_project_tangent_is_tangent(key):
+    U, mom = _rand_point_tangent(key)
+    # Tangent condition: Uᵀmom + momᵀU = 0 (skew-symmetric UᵀH).
+    sym = U.T @ mom + mom.T @ U
+    np.testing.assert_allclose(sym, np.zeros_like(sym), atol=1e-5)
+
+
+def test_project_idempotent(key):
+    U, mom = _rand_point_tangent(key)
+    np.testing.assert_allclose(stiefel.project_tangent(U, mom), mom, atol=1e-5)
+
+
+def test_geodesic_stays_on_manifold(key):
+    U, mom = _rand_point_tangent(key)
+    U1 = stiefel.geodesic(U, mom, 0.1)
+    np.testing.assert_allclose(U1.T @ U1, np.eye(4), atol=1e-4)
+
+
+def test_geodesic_zero_time_identity(key):
+    U, mom = _rand_point_tangent(key)
+    np.testing.assert_allclose(stiefel.geodesic(U, mom, 0.0), U, atol=1e-5)
+
+
+def test_geodesic_initial_velocity(key):
+    """d/dt U(t) at t=0 equals the momentum (finite differences)."""
+    U, mom = _rand_point_tangent(key)
+    h = 1e-4
+    vel = (stiefel.geodesic(U, mom, h) - stiefel.geodesic(U, mom, -h)) / (2 * h)
+    np.testing.assert_allclose(vel, mom, atol=1e-2)
+
+
+def test_geodesic_with_momentum_conserves_energy(key):
+    """Parallel transport preserves ‖mom‖ along the geodesic."""
+    U, mom = _rand_point_tangent(key)
+    U1, mom1 = stiefel.geodesic_with_momentum(U, mom, 0.05)
+    np.testing.assert_allclose(
+        jnp.sum(mom1**2), jnp.sum(mom**2), rtol=1e-3
+    )
+    # transported momentum is tangent at the endpoint
+    sym = U1.T @ mom1 + mom1.T @ U1
+    np.testing.assert_allclose(sym, np.zeros_like(sym), atol=1e-3)
+
+
+def test_geodesic_batched_matches_loop(key):
+    U, mom = _rand_point_tangent(key, batch=(3,))
+    out = stiefel.geodesic(U, mom, 0.1)
+    for d in range(3):
+        np.testing.assert_allclose(
+            out[d], stiefel.geodesic(U[d], mom[d], 0.1), atol=1e-5
+        )
+
+
+def test_cayley_stays_on_manifold(key):
+    U, mom = _rand_point_tangent(key)
+    U1 = stiefel.cayley_retract(U, mom, 0.1)
+    np.testing.assert_allclose(U1.T @ U1, np.eye(4), atol=1e-4)
+
+
+def test_cayley_first_order_matches_geodesic(key):
+    """Cayley and geodesic agree to O(t²)."""
+    U, mom = _rand_point_tangent(key)
+    t = 1e-3
+    g = stiefel.geodesic(U, mom, t)
+    c = stiefel.cayley_retract(U, mom, t)
+    assert jnp.max(jnp.abs(g - c)) < 5 * t**2 * jnp.max(jnp.abs(mom)) ** 2 + 1e-5
+
+
+def test_guard_rejects_nan(key):
+    U, _ = _rand_point_tangent(key)
+    bad = U.at[0, 0].set(jnp.nan)
+    safe, rejected = stiefel.guard(bad, U)
+    np.testing.assert_allclose(safe, U)
+    assert bool(rejected)
+    safe2, rejected2 = stiefel.guard(U, bad)
+    np.testing.assert_allclose(safe2, U)
+    assert not bool(rejected2)
+
+
+def test_geodesic_jit_and_grad(key):
+    """Geodesic is jit-able and differentiable (needed for GMC)."""
+    U, mom = _rand_point_tangent(key)
+
+    @jax.jit
+    def loss(m):
+        return jnp.sum(stiefel.geodesic(U, m, 0.05) ** 2)
+
+    g = jax.grad(loss)(mom)
+    assert jnp.all(jnp.isfinite(g))
