@@ -161,7 +161,7 @@ def make_sgld_step(
                 else:
                     newU = stiefel.geodesic(p, mom, sqe)
                 newU, rej = stiefel.guard(newU, p)
-                rejected = rejected + jnp.sum(rej.astype(jnp.int32))
+                rejected = rejected + jnp.sum(rej, dtype=jnp.int32)
                 new_leaves.append(newU)
             else:
                 drift = e * g / 2 if scale is None else e * scale * g / 2
