@@ -1,0 +1,94 @@
+"""Headline benchmark: tensor-GP SGLD samples/s on one chip, vmapped chains.
+
+Workload: the reference's Power Plant tensor SGLD config (n=100, r=10, Q=100,
+m=100, Ntrain=5000 — ``DataRecords.txt:20``), which the reference runs at
+3 s/epoch = 50 minibatch steps / 3 s ≈ 16.7 steps/s on its CPU cluster, one
+chain at a time. Here many chains run vmapped in one fused XLA program; the
+metric is total chain-steps/s (posterior samples/s across chains, the
+BASELINE.json scaling metric).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import time
+
+
+REFERENCE_STEPS_PER_SEC = 50 / 3.0  # DataRecords.txt:20 — 3 s/epoch, 50 batches
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gpt_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    import jax.numpy as jnp
+
+    from gpt_tpu.data import load_power_plant
+    from gpt_tpu.experiments.configs import POWER_PLANT_TENSOR_SMALL as PRESET
+    from gpt_tpu.features import sample_tensor_rff, tensor_features, tensor_phi_scale
+    from gpt_tpu.inference import SGLDConfig, run_sgld_chains
+    from gpt_tpu.models import TensorGP, sample_core_indices
+    from gpt_tpu.models.tensor_gp import TensorGPParams
+
+    num_chains = 64  # chains vmapped on the single chip
+    epochs_timed = 5
+
+    split = load_power_plant()
+    key = jax.random.PRNGKey(17)
+    kI, kf, kp, ks = jax.random.split(key, 4)
+    D = split.X_train.shape[1]
+    I = sample_core_indices(kI, PRESET.r, D, PRESET.Q)
+    rff = sample_tensor_rff(kf, PRESET.n, D)
+    phi = tensor_features(
+        jnp.asarray(split.X_train, jnp.float32), rff,
+        PRESET.length_scale, PRESET.sigma_RBF,
+        tensor_phi_scale(PRESET.n, PRESET.Q, D),
+    )
+    y = jnp.asarray(split.y_train, jnp.float32)
+    N = y.shape[0]
+    num_batches = -(-N // PRESET.m)
+
+    model = TensorGP(n=PRESET.n, r=PRESET.r, D=D, I=I, signal_var=PRESET.signal_var)
+    config = SGLDConfig(
+        eps=TensorGPParams(w=PRESET.epsw, U=PRESET.epsU), transport="cayley"
+    )
+    params0 = jax.vmap(model.init_params)(jax.random.split(kp, num_chains))
+    keys = jax.random.split(ks, num_chains)
+
+    def run(epochs):
+        finals, _ = run_sgld_chains(
+            model, params0, keys, phi, y,
+            m=PRESET.m, config=config, burnin=epochs, maxepoch=0,
+            collect_fn=lambda p: (),
+        )
+        return finals
+
+    # Warmup/compile with the same trace shape as the timed run.
+    jax.block_until_ready(run(epochs_timed).params.w)
+    t0 = time.perf_counter()
+    finals = run(epochs_timed)
+    jax.block_until_ready(finals.params.w)
+    dt = time.perf_counter() - t0
+
+    total_steps = num_chains * num_batches * epochs_timed
+    samples_per_sec = total_steps / dt
+    # Individual chains may diverge and have steps rejected (the reference
+    # logs such runs as RMSE=NaN sweeps, DataRecords.txt:61); the bench
+    # requires the fleet itself to stay healthy.
+    num_bad = int((finals.rejected > 0).sum())
+    assert num_bad <= num_chains // 8, f"{num_bad}/{num_chains} chains diverged"
+
+    print(json.dumps({
+        "metric": "tensor-GP SGLD chain-steps/s (PP n=100 r=10 Q=100 m=100, 64 chains, 1 chip)",
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / REFERENCE_STEPS_PER_SEC, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

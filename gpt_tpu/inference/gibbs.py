@@ -1,0 +1,151 @@
+"""Conjugate Gibbs sampling for the tensor model (L3).
+
+Capability parity with ``TGP.GPT_inf`` (``TGP.jl:37-86``) and the R
+``GPT_inf`` (``inf.R:4-89``): alternate exact Gaussian draws of
+
+- the core ``w | U`` from the Q×Q system
+  ``Λ_w = VVᵀ/σ² + I/σ_w²``, ``μ_w = Λ_w⁻¹ V y / σ²``;
+- each factor ``vec(U^(k)) | w, U^(−k)`` from the nr×nr system built from
+  ``Ψ^(k)[(l,j), i] = C^(k)[l, i] · φ^(k)_j(x_i)`` where
+  ``C^(k)[l, i] = Σ_{q: I[q,k]=l} w_q · Π_{k'≠k} ⟨φ^(k')(x_i), U^(k')_{·,I[q,k']}⟩``.
+
+Priors follow TGP.jl: Gaussian factors ``U ~ N(0, σ_u²)`` (σ_u=√(1/r)) — the
+Gibbs model is the non-Stiefel variant — and ``w ~ N(0, σ_w²)`` (σ_w=√(rᴰ/Q)).
+
+TPU-first: the per-dimension leave-one-out products come from one forward
+``phidot`` plus a gather (no recomputation per k), the scatter-sum over core
+indices is a ``segment_sum``, and both Gaussian draws are Cholesky
+solves — batched MXU work. The whole sweep is jittable and vmappable over
+chains.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gpt_tpu.models.tensor_gp import TensorGP, TensorGPParams
+from gpt_tpu.ops.contraction import phidot
+
+
+@dataclasses.dataclass(frozen=True)
+class GibbsConfig:
+    sigma_w: float | None = None  # default √(rᴰ/Q) (TGP.jl:52)
+    sigma_u: float | None = None  # default √(1/r)  (TGP.jl:51)
+    jitter: float = 1e-6
+
+
+def _mvn_from_precision(key, precision, mean_rhs):
+    """Draw x ~ N(Λ⁻¹ b, Λ⁻¹) given precision Λ and rhs b = Λ μ.
+
+    Uses the Cholesky Λ = L Lᵀ: μ = Λ⁻¹ b and x = μ + L⁻ᵀ ξ
+    (the reference's ``\\(chol(invSigma,:U), randn(q)) + Mu``, TGP.jl:63).
+    """
+    L = jnp.linalg.cholesky(precision)
+    mu = jax.scipy.linalg.cho_solve((L, True), mean_rhs)
+    xi = jax.random.normal(key, mean_rhs.shape, mean_rhs.dtype)
+    x = mu + jax.scipy.linalg.solve_triangular(L, xi, trans="T", lower=True)
+    return x
+
+
+def gibbs_sweep(
+    model: TensorGP,
+    params: TensorGPParams,
+    key: jax.Array,
+    phi: jnp.ndarray,  # (N, D, n)
+    y: jnp.ndarray,  # (N,)
+    config: GibbsConfig = GibbsConfig(),
+) -> TensorGPParams:
+    """One full Gibbs sweep: draw w, then each U^(k) in turn."""
+    D, n, r, Q = model.D, model.n, model.r, model.Q
+    I = model.I  # (Q, D)
+    sigma_w = config.sigma_w if config.sigma_w is not None else math.sqrt(r**D / Q)
+    sigma_u = config.sigma_u if config.sigma_u is not None else math.sqrt(1.0 / r)
+    sv = model.signal_var
+    eye_q = jnp.eye(Q, dtype=phi.dtype)
+    eye_nr = jnp.eye(n * r, dtype=phi.dtype)
+
+    key_w, key_u = jax.random.split(key)
+    U = params.U
+
+    def factors(U):
+        """temp (N, D, r) and gathered per-dim inner products g (N, D, Q)."""
+        temp = phidot(phi, U)
+        idx = jnp.broadcast_to(I.T.astype(jnp.int32), temp.shape[:-1] + (Q,))
+        g = jnp.take_along_axis(temp, idx, axis=-1)  # (N, D, Q)
+        return temp, g
+
+    # --- draw w | U -------------------------------------------------------
+    _, g = factors(U)
+    V = jnp.prod(g, axis=1)  # (N, Q)
+    prec_w = V.T @ V / sv + eye_q / sigma_w**2
+    w = _mvn_from_precision(key_w, prec_w, V.T @ y / sv)
+
+    # --- draw U^(k) | w, U^(-k) for each k in turn ------------------------
+    def draw_factor(U, k, kk):
+        _, g = factors(U)  # recomputed so later k's see earlier draws
+        V = jnp.prod(g, axis=1)  # (N, Q)
+        # leave-one-dim-out product: V / g_k (guard exact zeros)
+        gk = g[:, k, :]
+        Vk = V / jnp.where(gk == 0, 1.0, gk)  # (N, Q)
+        # C[l, i] = Σ_{q: I[q,k] = l} w_q · Vk[i, q]  — segment-sum over q
+        seg = I[:, k].astype(jnp.int32)  # (Q,)
+        C = jax.ops.segment_sum((w[None, :] * Vk).T, seg, num_segments=r)  # (r, N)
+        # Ψ[(l·n+j), i] = C[l, i]·φ[i, k, j] → (r, n, N)
+        Psi = C[:, None, :] * phi[:, k, :].T[None, :, :]
+        Psi = Psi.reshape(n * r, -1)
+        prec = Psi @ Psi.T / sv + eye_nr / sigma_u**2
+        prec = prec + config.jitter * eye_nr
+        vecU = _mvn_from_precision(kk, prec, Psi @ y / sv)
+        # vec index (l·n + j) ⇒ reshape (r, n) then transpose to (n, r)
+        return U.at[k].set(vecU.reshape(r, n).T)
+
+    keys = jax.random.split(key_u, D)
+    for k in range(D):
+        U = draw_factor(U, k, keys[k])
+
+    return TensorGPParams(w=w, U=U)
+
+
+def run_gibbs(
+    model: TensorGP,
+    params0: TensorGPParams,
+    key: jax.Array,
+    phi: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    num_iterations: int,
+    burnin: int,
+    config: GibbsConfig = GibbsConfig(),
+    collect_fn=None,
+):
+    """Run a Gibbs chain; returns (final_params, collected post-burnin).
+
+    Reference harness: ``TGP.GPT_inf``/``TensorRes`` (``TGP.jl:37-108``).
+    """
+    if collect_fn is None:
+        collect_fn = lambda p: p
+
+    params0 = jax.tree.map(lambda a: a.astype(phi.dtype), params0)
+
+    def body(carry, k):
+        params = gibbs_sweep(model, carry, k, phi, y, config)
+        return params, collect_fn(params)
+
+    keys = jax.random.split(key, num_iterations)
+    final, collected = jax.lax.scan(body, params0, keys)
+    collected = jax.tree.map(lambda a: a[burnin:], collected)
+    return final, collected
+
+
+def init_gibbs_params(model: TensorGP, key: jax.Array,
+                      config: GibbsConfig = GibbsConfig(), dtype=jnp.float32) -> TensorGPParams:
+    """Gaussian init matching TGP.jl:51-53 (U ~ N(0, σ_u²), w drawn in sweep 1)."""
+    sigma_u = config.sigma_u if config.sigma_u is not None else math.sqrt(1.0 / model.r)
+    kw, ku = jax.random.split(key)
+    w = jnp.zeros((model.Q,), dtype)
+    U = sigma_u * jax.random.normal(ku, (model.D, model.n, model.r), dtype)
+    return TensorGPParams(w=w, U=U)

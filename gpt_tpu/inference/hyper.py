@@ -1,0 +1,194 @@
+"""Marginal-likelihood hyperparameter learning (L3).
+
+Capability parity with the reference's hyperparameter layer
+(``GPT_SGLD.jl:902-1063``):
+
+- exact-GP ARD negative log marginal likelihood (N×N Cholesky)
+  — ``GP_nlogmarginal`` (``GPT_SGLD.jl:904-915``);
+- RFF-GP NLML in the Woodbury n×n form — ``GPNT_nlogmarginal``
+  (``GPT_SGLD.jl:921-933``);
+- gradient-based optimisation over positive hyperparameters in log space —
+  ``GPNT_hyperparameters``/``_optim`` (``GPT_SGLD.jl:971-1002``), with
+  ``jax.grad`` replacing the hand-derived gradient chain
+  (``GPNT_gradnlogmarginal``, ``GPT_SGLD.jl:939-962``) and optax L-BFGS
+  replacing NLopt MMA / Optim CG;
+- stochastic EM for non-Gaussian likelihoods — ``GPNT_hyperparameters_ng``
+  (``GPT_SGLD.jl:1005-1063``): SGLD E-step on θ, gradient M-step on
+  log-hyperparameters.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def se_ard_kernel(X1: jnp.ndarray, X2: jnp.ndarray, length_scale, sigma_RBF2) -> jnp.ndarray:
+    """SE/ARD Gram matrix ``σ² exp(−½ Σ_k (x_k−x'_k)²/ℓ_k²)``."""
+    ls = jnp.broadcast_to(jnp.asarray(length_scale, X1.dtype), (X1.shape[-1],))
+    A, B = X1 / ls, X2 / ls
+    sq = (
+        jnp.sum(A**2, -1)[:, None] + jnp.sum(B**2, -1)[None, :] - 2 * A @ B.T
+    )
+    return sigma_RBF2 * jnp.exp(-0.5 * jnp.maximum(sq, 0.0))
+
+
+def gp_nlml(X: jnp.ndarray, y: jnp.ndarray, signal_var, sigma_RBF2, length_scale) -> jnp.ndarray:
+    """Exact-GP ARD negative log marginal (``GP_nlogmarginal``).
+
+    ``½ log|K+σ²I| + ½ yᵀ(K+σ²I)⁻¹y + N/2 log 2π`` via one Cholesky.
+    """
+    N = y.shape[0]
+    K = se_ard_kernel(X, X, length_scale, sigma_RBF2)
+    A = K + signal_var * jnp.eye(N, dtype=X.dtype)
+    L = jnp.linalg.cholesky(A)
+    alpha = jax.scipy.linalg.cho_solve((L, True), y)
+    half_logdet = jnp.sum(jnp.log(jnp.diag(L)))
+    return half_logdet + 0.5 * jnp.dot(y, alpha) + 0.5 * N * jnp.log(2 * jnp.pi)
+
+
+def rff_nlml(phi: jnp.ndarray, y: jnp.ndarray, signal_var) -> jnp.ndarray:
+    """RFF-GP NLML via the n×n Woodbury form (``GPNT_nlogmarginal``).
+
+    With features ``phi (N, n)`` (note: transposed vs the reference's (n, N)),
+    ``A = φᵀφ + σ²Iₙ``:
+    ``NLML = (N−n)/2·log σ² + ½ log|A| + (yᵀy − bᵀA⁻¹b)/(2σ²) + N/2·log 2π``
+    where ``b = φᵀ y``.
+    """
+    N, n = phi.shape
+    A = phi.T @ phi + signal_var * jnp.eye(n, dtype=phi.dtype)
+    L = jnp.linalg.cholesky(A)
+    b = phi.T @ y
+    l = jax.scipy.linalg.cho_solve((L, True), b)
+    logdetA = 2 * jnp.sum(jnp.log(jnp.diag(L)))
+    sum1 = (N - n) * jnp.log(signal_var) / 2 + logdetA / 2
+    sum2 = (jnp.dot(y, y) - jnp.dot(b, l)) / (2 * signal_var)
+    return sum1 + sum2 + 0.5 * N * jnp.log(2 * jnp.pi)
+
+
+class HyperOptResult(NamedTuple):
+    hyperparams: jnp.ndarray  # optimised positive hyperparameters
+    nlml: jnp.ndarray
+    converged: jnp.ndarray
+    num_steps: jnp.ndarray
+
+
+def optimize_hyperparams(
+    nlml_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    init: jnp.ndarray,
+    *,
+    max_steps: int = 100,
+    tol: float = 1e-6,
+) -> HyperOptResult:
+    """Minimise ``nlml_fn(hyperparams)`` over positive hyperparams.
+
+    Optimisation runs in log space (the reference's ``GPNT_hyperparameters_optim``
+    trick, ``GPT_SGLD.jl:991-1002``) with optax L-BFGS; gradients from
+    ``jax.grad`` replace the hand-derived ``GPNT_gradnlogmarginal``.
+    """
+    def loss(log_h):
+        return nlml_fn(jnp.exp(log_h))
+
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(loss)
+
+    def step(carry):
+        log_h, state, _, i = carry
+        value, grad = value_and_grad(log_h, state=state)
+        updates, state = opt.update(
+            grad, state, log_h, value=value, grad=grad, value_fn=loss
+        )
+        new_log_h = optax.apply_updates(log_h, updates)
+        delta = jnp.max(jnp.abs(new_log_h - log_h))
+        return new_log_h, state, delta, i + 1
+
+    def cond(carry):
+        _, _, delta, i = carry
+        return jnp.logical_and(delta > tol, i < max_steps)
+
+    log0 = jnp.log(init)
+    state0 = opt.init(log0)
+    log_h, _, delta, steps = jax.lax.while_loop(
+        cond, step, (log0, state0, jnp.asarray(jnp.inf, log0.dtype), 0)
+    )
+    return HyperOptResult(
+        hyperparams=jnp.exp(log_h),
+        nlml=loss(log_h),
+        converged=delta <= tol,
+        num_steps=steps,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class StochasticEMConfig:
+    """E-step SGLD settings + M-step optimiser settings
+    (``GPT_SGLD.jl:1005-1063``)."""
+
+    e_steps: int = 50  # SGLD steps per E-step
+    eps_theta: float = 1e-4
+    m_steps: int = 5  # gradient steps per M-step (num_cg_iter analog)
+    m_lr: float = 0.05
+    max_rounds: int = 50
+    tol: float = 1e-7  # ‖Δhyper‖ convergence (GPT_SGLD.jl:1028)
+
+
+def stochastic_em(
+    key: jax.Array,
+    init_theta: jnp.ndarray,
+    init_hyperparams: jnp.ndarray,
+    *,
+    neg_log_joint: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    config: StochasticEMConfig = StochasticEMConfig(),
+):
+    """Stochastic EM: alternate SGLD on θ with fixed hyperparams (E) and
+    gradient descent on log-hyperparams with fixed θ (M).
+
+    ``neg_log_joint(theta, hyperparams) -> scalar`` is −log p(y, θ; η) for the
+    full data (non-Gaussian likelihoods supported — the Mamba-NUTS/CG loop of
+    ``BloodTransfusionExperiment.jl``/``ImageExperiment.jl`` reduced to one
+    function). Returns (theta, hyperparams, rounds, converged).
+    """
+    grad_theta = jax.grad(lambda th, h: -neg_log_joint(th, h))  # ∇ log p
+    grad_logh = jax.grad(lambda lh, th: neg_log_joint(th, jnp.exp(lh)))
+
+    def e_step(theta, h, k):
+        def body(th, kk):
+            g = grad_theta(th, h)
+            noise = jax.random.normal(kk, th.shape, th.dtype)
+            th = th + config.eps_theta * g / 2 + jnp.sqrt(config.eps_theta) * noise
+            return th, None
+
+        theta, _ = jax.lax.scan(body, theta, jax.random.split(k, config.e_steps))
+        return theta
+
+    def m_step(theta, h):
+        log_h = jnp.log(h)
+
+        def body(lh, _):
+            return lh - config.m_lr * grad_logh(lh, theta), None
+
+        log_h, _ = jax.lax.scan(body, log_h, None, length=config.m_steps)
+        return jnp.exp(log_h)
+
+    def round_body(carry):
+        theta, h, _, i, k = carry
+        k, ke = jax.random.split(k)
+        theta = e_step(theta, h, ke)
+        new_h = m_step(theta, h)
+        delta = jnp.linalg.norm(new_h - h)
+        return theta, new_h, delta, i + 1, k
+
+    def cond(carry):
+        _, _, delta, i, _ = carry
+        return jnp.logical_and(delta > config.tol, i < config.max_rounds)
+
+    theta, h, delta, rounds, _ = jax.lax.while_loop(
+        cond,
+        round_body,
+        (init_theta, init_hyperparams,
+         jnp.asarray(jnp.inf, init_hyperparams.dtype), 0, key),
+    )
+    return theta, h, rounds, delta <= config.tol

@@ -134,6 +134,9 @@ def make_sgld_step(
         for p, g, man, e, G, k in zip(
             leaves_p, leaves_g, leaves_m, leaves_e, leaves_G, keys
         ):
+            if man == "frozen":  # fixed parameters (e.g. GPT_fixw's core w)
+                new_leaves.append(p)
+                continue
             e = jnp.asarray(e, p.dtype) * decay_factor
             if config.rmsprop and G is not None:
                 scale = 1.0 / (config.rmsprop_lambda + jnp.sqrt(G))
@@ -160,7 +163,21 @@ def make_sgld_step(
                     newU = stiefel.cayley_retract(p, mom, sqe)
                 else:
                     newU = stiefel.geodesic(p, mom, sqe)
-                newU, rej = stiefel.guard(newU, p)
+                # Reject steps that leave the manifold numerically: huge
+                # gradients make the f32 transport algebra inaccurate and the
+                # result drifts off V_{n,r} while staying finite (observed
+                # ‖UᵀU−I‖ ≈ 3e2 on diverged chains). The reference's only
+                # guard is the NaN abort (GPT_SGLD.jl:23-26); this also
+                # catches finite off-manifold escapes.
+                r_dim = newU.shape[-1]
+                UtU = jnp.einsum("...ni,...nj->...ij", newU, newU)
+                orth_err = jnp.max(
+                    jnp.abs(UtU - jnp.eye(r_dim, dtype=newU.dtype)),
+                    axis=(-2, -1),
+                )
+                bad = ~jnp.isfinite(orth_err) | (orth_err > 1e-2)
+                newU = jnp.where(bad[..., None, None], p, newU)
+                rej = bad
                 rejected = rejected + jnp.sum(rej, dtype=jnp.int32)
                 new_leaves.append(newU)
             else:
@@ -240,10 +257,17 @@ def run_sgld(
     ``collect_fn(params) -> pytree`` is evaluated at each post-burnin epoch
     end (default: the params themselves). The whole run is one ``lax.scan``
     over epochs (inner scan over batches) — a single XLA program.
+
+    ``phi`` may be any pytree of arrays with a shared leading data axis (an
+    ``(N, D, n)`` tensor-feature array, an ``(N, n)`` full-feature matrix, a
+    ``(phiU, phiV)`` pair for the 2-D Kronecker models, …) — whatever the
+    model's ``log_lik`` consumes.
     """
     N = y.shape[0]
     B, pad = _pad_data(N, m)
-    phi_pad = jnp.concatenate([phi, jnp.zeros_like(phi[:1])], axis=0)
+    phi_pad = jax.tree.map(
+        lambda a: jnp.concatenate([a, jnp.zeros_like(a[:1])], axis=0), phi
+    )
     y_pad = jnp.concatenate([y, jnp.zeros_like(y[:1])], axis=0)
 
     if collect_fn is None:
@@ -253,7 +277,8 @@ def run_sgld(
         idx, wts = batch
 
         def logp(p):
-            ll = model.log_lik(p, phi_pad[idx], y_pad[idx], weight=wts)
+            phi_b = jax.tree.map(lambda a: a[idx], phi_pad)
+            ll = model.log_lik(p, phi_b, y_pad[idx], weight=wts)
             scale = N / jnp.maximum(jnp.sum(wts), 1.0)
             return scale * ll + model.log_prior(p)
 
@@ -309,4 +334,4 @@ def run_sgld_chains(
         maxepoch=maxepoch,
         collect_fn=collect_fn,
     )
-    return jax.vmap(lambda p, k: run(p, k))(params0_chains, keys)
+    return jax.jit(jax.vmap(lambda p, k: run(p, k)))(params0_chains, keys)

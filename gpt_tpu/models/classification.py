@@ -80,6 +80,7 @@ class TensorGPClassifier:
     I: jnp.ndarray  # (Q, D) int32
     sigma_w: float = 1.0
     stiefel: bool = True
+    contraction: str = "onehot"  # see TensorGP.contraction
 
     @property
     def Q(self) -> int:
@@ -103,7 +104,7 @@ class TensorGPClassifier:
 
     def logits(self, params: TensorClassParams, phi: jnp.ndarray) -> jnp.ndarray:
         """``f[..., i, c]`` — per-class tensor-GP predictions, ``phi (N, D, n)``."""
-        f = tensor_predict(params.w, params.U, self.I, phi)  # (..., C, N)
+        f = tensor_predict(params.w, params.U, self.I, phi, mode=self.contraction)  # (..., C, N)
         return jnp.swapaxes(f, -1, -2)
 
     def predict_proba(self, params, phi):

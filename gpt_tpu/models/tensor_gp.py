@@ -86,6 +86,10 @@ class TensorGP:
     signal_var: float
     sigma_w: float = 1.0
     stiefel: bool = True
+    # "onehot" turns the core gather into an MXU matmul whose transpose is
+    # also a matmul — 36x faster than the gather/scatter pair on TPU
+    # (measured v5e: grad 49ms gather vs 1.4ms onehot at C=64 chains).
+    contraction: str = "onehot"
 
     @property
     def Q(self) -> int:
@@ -117,7 +121,7 @@ class TensorGP:
     # -- densities ----------------------------------------------------------
     def predict(self, params: TensorGPParams, phi: jnp.ndarray) -> jnp.ndarray:
         """fhat over a feature batch ``phi (N, D, n)`` → ``(..., N)``."""
-        return tensor_predict(params.w, params.U, self.I, phi)
+        return tensor_predict(params.w, params.U, self.I, phi, mode=self.contraction)
 
     def log_lik(self, params: TensorGPParams, phi: jnp.ndarray, y: jnp.ndarray,
                 weight: jnp.ndarray | None = None) -> jnp.ndarray:

@@ -1,0 +1,151 @@
+"""Chain/data sharding of the SGLD family (L4).
+
+Replaces the reference's two parallel constructs with mesh collectives:
+
+- ``@parallel`` seed sweeps (independent chains;
+  ``SynthDataExperiment.jl:44``, ``kin40kExperiment.jl:67``) → chains vmapped
+  per device and sharded over the mesh ``chain`` axis;
+- ``@sync @parallel`` SharedArray inner loops + the ``@parallel (+)``
+  prediction reduction (``GPT_SGLD_p.jl:70-132``) → minibatch likelihood
+  gradients ``psum``-reduced over the mesh ``data`` axis, and cross-chain
+  posterior statistics ``pmean``-reduced over the ``chain`` axis.
+
+The multichip training step keeps parameters replicated across the data axis
+(they are updated identically on every data shard because the gradient is
+psum'd before the update — same determinism argument as the reference's
+fork-join barriers, without the fork-join).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from gpt_tpu.inference.sgld import SGLDConfig, SGLDState, make_sgld_step, sgld_init
+from gpt_tpu.parallel.mesh import CHAIN_AXIS, DATA_AXIS
+
+
+def make_multichip_sgld_step(
+    model,
+    mesh,
+    config: SGLDConfig,
+    data_size: int,
+) -> Callable:
+    """Build a jitted multi-chip SGLD step over a ``(chain, data)`` mesh.
+
+    Returns ``step(states, phi_b, y_b, wts_b) -> states`` where ``states`` is
+    a chain-stacked ``SGLDState`` (leading axis = global chain count, sharded
+    over the chain axis) and ``(phi_b, y_b, wts_b)`` is one global minibatch
+    (leading axis sharded over the data axis, shared by all chains).
+    """
+
+    def local_grad_fn(params, batch):
+        """Per-device gradient of the *global* scaled log-joint.
+
+        The likelihood sum and the batch weight live across the data axis, so
+        both are psum'd; the prior is replicated, added once.
+        """
+        phi, y, wts = batch
+
+        def scaled_local_ll(p):
+            return model.log_lik(p, phi, y, weight=wts)
+
+        g_local = jax.grad(scaled_local_ll)(params)
+        g_global = jax.tree.map(lambda a: jax.lax.psum(a, DATA_AXIS), g_local)
+        total_w = jax.lax.psum(jnp.sum(wts), DATA_AXIS)
+        scale = data_size / jnp.maximum(total_w, 1.0)
+        g_prior = jax.grad(lambda p: model.log_prior(p))(params)
+        return jax.tree.map(lambda a, b: scale * a + b, g_global, g_prior)
+
+    inner_step = make_sgld_step(local_grad_fn, model.manifolds, config)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(CHAIN_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(CHAIN_AXIS),
+        check_vma=False,
+    )
+    def sharded_step(states, phi_b, y_b, wts_b):
+        # states: local chain block; batch: local data shard (same for all
+        # local chains). vmap the kernel over local chains.
+        return jax.vmap(lambda st: inner_step(st, (phi_b, y_b, wts_b)))(states)
+
+    return jax.jit(sharded_step)
+
+
+def init_chain_states(model, key: jax.Array, num_chains: int, config: SGLDConfig) -> SGLDState:
+    """Chain-stacked initial sampler states with independent keys/params."""
+    kp, ks = jax.random.split(key)
+    params = jax.vmap(model.init_params)(jax.random.split(kp, num_chains))
+    keys = jax.random.split(ks, num_chains)
+    return jax.vmap(lambda p, k: sgld_init(p, k, config))(params, keys)
+
+
+def run_sharded_chains(
+    model,
+    mesh,
+    key: jax.Array,
+    phi: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    num_chains: int,
+    m: int,
+    config: SGLDConfig,
+    burnin: int,
+    maxepoch: int,
+    collect_fn: Callable | None = None,
+):
+    """Full sharded training run: scan over epochs/batches on a mesh.
+
+    Equivalent to :func:`gpt_tpu.inference.run_sgld_chains` but with chains
+    laid out over the mesh chain axis and each minibatch sharded over the data
+    axis. Returns ``(final_states, collected)`` with collected thinned to
+    post-burnin epoch ends.
+    """
+    from jax.sharding import NamedSharding
+
+    N = y.shape[0]
+    B = -(-N // m)
+    pad = B * m - N
+    phi_pad = jnp.concatenate([phi, jnp.zeros_like(phi[:1])], axis=0)
+    y_pad = jnp.concatenate([y, jnp.zeros_like(y[:1])], axis=0)
+
+    if collect_fn is None:
+        collect_fn = lambda p: p
+
+    step = make_multichip_sgld_step(model, mesh, config, N)
+    states = init_chain_states(model, key, num_chains, config)
+    states = jax.device_put(states, NamedSharding(mesh, P(CHAIN_AXIS)))
+
+    kperm = jax.random.fold_in(key, 0x5EED)
+    collected = []
+    for epoch in range(burnin + maxepoch):
+        ke = jax.random.fold_in(kperm, epoch)
+        perm = jax.random.permutation(ke, N)
+        idx = jnp.concatenate([perm, jnp.full((pad,), N, perm.dtype)]).reshape(B, m)
+        wts = jnp.concatenate(
+            [jnp.ones((N,), phi.dtype), jnp.zeros((pad,), phi.dtype)]
+        ).reshape(B, m)
+        for b in range(B):
+            states = step(states, phi_pad[idx[b]], y_pad[idx[b]], wts[b])
+        if epoch >= burnin:
+            collected.append(jax.vmap(collect_fn)(states.params))
+    collected = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *collected)
+    return states, collected
+
+
+def cross_chain_moments(samples, mesh=None):
+    """Posterior mean/variance across the chain axis (axis 0).
+
+    The collective analog of the reference's ``@parallel (+)`` posterior-mean
+    reduction (``GPT_SGLD_p.jl:124-132``): under jit on a mesh, XLA lowers
+    these reductions to ``all-reduce`` over ICI/DCN.
+    """
+    mean = jax.tree.map(lambda a: jnp.mean(a, axis=0), samples)
+    var = jax.tree.map(lambda a: jnp.var(a, axis=0), samples)
+    return mean, var

