@@ -138,6 +138,13 @@ def sample_stiefel(key: jax.Array, n: int, r: int, *, batch: tuple[int, ...] = (
     eigh-based inverse-sqrt leaves ‖UᵀU − I‖ ≈ 8e-3 (measured), which seeds
     NaN drift over thousands of manifold transports, while QR gives ~1e-6.
     """
+    if r > n:
+        raise ValueError(
+            f"V_(n={n}, r={r}) is empty: orthonormal n x r frames need r <= n. "
+            "Use Euclidean (Gaussian-prior) factors for r > n — the reference's "
+            "r>n configs (ImageExperiment.jl n=5, r=10) only make sense there; "
+            "its own Stiefel init is singular for r > n."
+        )
     Z = jax.random.normal(key, (*batch, n, r), dtype=dtype)
     Q, R = jnp.linalg.qr(Z)
     sign = jnp.sign(jnp.diagonal(R, axis1=-2, axis2=-1))
