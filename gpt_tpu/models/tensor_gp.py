@@ -121,6 +121,17 @@ class TensorGP:
     # -- densities ----------------------------------------------------------
     def predict(self, params: TensorGPParams, phi: jnp.ndarray) -> jnp.ndarray:
         """fhat over a feature batch ``phi (N, D, n)`` → ``(..., N)``."""
+        if self.contraction == "pallas":
+            from gpt_tpu.ops.pallas_contraction import fused_tensor_predict
+
+            lead = params.w.shape[:-1]
+            C = 1
+            for s in lead:
+                C *= s
+            w = params.w.reshape(C, self.Q)
+            U = params.U.reshape(C, self.D, self.n, self.r)
+            out = fused_tensor_predict(w, U, self.I, phi)
+            return out.reshape(*lead, phi.shape[0])
         return tensor_predict(params.w, params.U, self.I, phi, mode=self.contraction)
 
     def log_lik(self, params: TensorGPParams, phi: jnp.ndarray, y: jnp.ndarray,
