@@ -25,6 +25,26 @@ import numpy as np
 REFERENCE_ROOT = os.environ.get("GPT_TPU_DATA_ROOT", "/root/reference")
 
 
+def _load_dense(path: str, cols: int, *, sep: str = " ", skip_header: int = 0) -> np.ndarray:
+    """Dense numeric text file via the native fast loader when built
+    (``native/libfastload.so``), numpy otherwise."""
+    from gpt_tpu.data import native_loader
+
+    if native_loader.available():
+        return native_loader.load_matrix(path, cols, sep=sep, skip_header=skip_header)
+    if sep == ",":
+        return np.genfromtxt(path, delimiter=",", skip_header=skip_header)
+    return np.loadtxt(path, skiprows=skip_header)
+
+
+def _load_ratings_file(path: str) -> np.ndarray:
+    from gpt_tpu.data import native_loader
+
+    if native_loader.available():
+        return native_loader.load_ratings(path)
+    return np.loadtxt(path)[:, :3]
+
+
 class Whitening(NamedTuple):
     mean: np.ndarray
     std: np.ndarray
@@ -71,19 +91,20 @@ def load_power_plant(root: str = REFERENCE_ROOT, n_train: int = 5000) -> Regress
     Reference: ``Folds5x2_pp.csv`` consumed by
     ``PowerPlantNoTensorExperiment.jl:5-27`` (first ``n_train`` rows train).
     """
-    data = np.genfromtxt(os.path.join(root, "Folds5x2_pp.csv"), delimiter=",", skip_header=1)
+    path = os.path.join(root, "Folds5x2_pp.csv")
+    data = _load_dense(path, 5, sep=",", skip_header=1)
     X, y = data[:, :4], data[:, 4]
     return standardize_split(X[:n_train], y[:n_train], X[n_train:], y[n_train:])
 
 
 def load_kin40k(root: str = REFERENCE_ROOT) -> RegressionSplit:
     """kin40k: 10k train / 30k test, D=8 (``kin40kExperiment.jl:11-14``)."""
-    def rd(name):
-        return np.loadtxt(os.path.join(root, name))
+    def rd(name, cols):
+        return _load_dense(os.path.join(root, name), cols)
 
     return standardize_split(
-        rd("kin40k_train_data.txt"), rd("kin40k_train_labels.txt"),
-        rd("kin40k_test_data.txt"), rd("kin40k_test_labels.txt"),
+        rd("kin40k_train_data.txt", 8), rd("kin40k_train_labels.txt", 1),
+        rd("kin40k_test_data.txt", 8), rd("kin40k_test_labels.txt", 1),
     )
 
 
@@ -205,8 +226,8 @@ class MovieLensFold(NamedTuple):
 
 def load_movielens_100k(fold: int = 1, root: str = REFERENCE_ROOT) -> MovieLensFold:
     base = os.path.join(root, "ml-100k")
-    tr = np.loadtxt(os.path.join(base, f"u{fold}.base"), dtype=np.int64)[:, :3]
-    te = np.loadtxt(os.path.join(base, f"u{fold}.test"), dtype=np.int64)[:, :3]
+    tr = _load_ratings_file(os.path.join(base, f"u{fold}.base")).astype(np.int64)
+    te = _load_ratings_file(os.path.join(base, f"u{fold}.test")).astype(np.int64)
     mean = float(tr[:, 2].mean())
     std = float(tr[:, 2].std(ddof=1))
 

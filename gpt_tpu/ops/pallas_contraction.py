@@ -39,7 +39,7 @@ from gpt_tpu.ops.contraction import core_indicator
 
 
 def _forward_kernel(D: int, phi_ref, onehot_ref, w_ref, U_ref, fhat_ref):
-    # phi (m, D, n); onehot (Q, D, r); w (1, Q); U (1, D, n, r); fhat (1, m)
+    # phi (m, D, n); onehot (Q, D, r); w (1, 1, Q); U (1, D, n, r); fhat (1, 1, m)
     m = phi_ref.shape[0]
     Q = onehot_ref.shape[0]
     V = jnp.ones((m, Q), dtype=jnp.float32)
@@ -51,14 +51,15 @@ def _forward_kernel(D: int, phi_ref, onehot_ref, w_ref, U_ref, fhat_ref):
             temp_d, onehot_ref[:, d, :].T, preferred_element_type=jnp.float32
         )  # (m, Q)
         V = V * g_d
-    fhat_ref[0, :] = jnp.dot(
-        V, w_ref[0, :][:, None], preferred_element_type=jnp.float32
+    fhat_ref[0, 0, :] = jnp.dot(
+        V, w_ref[0, 0, :][:, None], preferred_element_type=jnp.float32
     )[:, 0]
 
 
 def _backward_kernel(D: int, phi_ref, onehot_ref, w_ref, U_ref, gbar_ref,
                      wbar_ref, Ubar_ref, phibar_ref):
-    # gbar (1, m); outputs: wbar (1, Q), Ubar (1, D, n, r), phibar (1, m, D, n)
+    # gbar (1, 1, m); outputs: wbar (1, 1, Q), Ubar (1, D, n, r),
+    # phibar (1, m, D, n)
     m = phi_ref.shape[0]
     Q = onehot_ref.shape[0]
     gs = []
@@ -79,11 +80,11 @@ def _backward_kernel(D: int, phi_ref, onehot_ref, w_ref, U_ref, gbar_ref,
     suffix = suffix[::-1]
 
     V = prefix[-1] * gs[D - 1]
-    gbar = gbar_ref[0, :]  # (m,)
-    wbar_ref[0, :] = jnp.dot(
+    gbar = gbar_ref[0, 0, :]  # (m,)
+    wbar_ref[0, 0, :] = jnp.dot(
         V.T, gbar[:, None], preferred_element_type=jnp.float32
     )[:, 0]
-    Vbar = gbar[:, None] * w_ref[0, :][None, :]  # (m, Q)
+    Vbar = gbar[:, None] * w_ref[0, 0, :][None, :]  # (m, Q)
     for d in range(D):
         loo = prefix[d] * suffix[d]  # Π_{d'≠d} g_d'
         gd_bar = Vbar * loo  # (m, Q)
@@ -99,50 +100,56 @@ def _backward_kernel(D: int, phi_ref, onehot_ref, w_ref, U_ref, gbar_ref,
 
 
 def _run_forward(w, U, phi, onehot, interpret):
+    # Mosaic requires the last two block dims be (8,128)-divisible or equal
+    # to the array dims; the chain axis is blocked at 1, so it must sit ahead
+    # of two axes that are carried whole — hence the (C, 1, Q)/(C, 1, m)
+    # singleton reshapes.
     C, Q = w.shape
     m, D, n = phi.shape
     r = U.shape[-1]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_forward_kernel, D),
         grid=(C,),
         in_specs=[
             pl.BlockSpec((m, D, n), lambda c: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Q, D, r), lambda c: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q), lambda c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Q), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, n, r), lambda c: (c, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, m), lambda c: (c, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, m), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, m), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, 1, m), jnp.float32),
         interpret=interpret,
-    )(phi, onehot, w, U)
+    )(phi, onehot, w.reshape(C, 1, Q), U)
+    return out.reshape(C, m)
 
 
 def _run_backward(w, U, phi, onehot, gbar, interpret):
     C, Q = w.shape
     m, D, n = phi.shape
     r = U.shape[-1]
-    return pl.pallas_call(
+    wbar, Ubar, phibar = pl.pallas_call(
         functools.partial(_backward_kernel, D),
         grid=(C,),
         in_specs=[
             pl.BlockSpec((m, D, n), lambda c: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Q, D, r), lambda c: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q), lambda c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Q), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, n, r), lambda c: (c, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m), lambda c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Q), lambda c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Q), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, n, r), lambda c: (c, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m, D, n), lambda c: (c, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((C, Q), jnp.float32),
+            jax.ShapeDtypeStruct((C, 1, Q), jnp.float32),
             jax.ShapeDtypeStruct((C, D, n, r), jnp.float32),
             jax.ShapeDtypeStruct((C, m, D, n), jnp.float32),
         ],
         interpret=interpret,
-    )(phi, onehot, w, U, gbar)
+    )(phi, onehot, w.reshape(C, 1, Q), U, gbar.reshape(C, 1, m))
+    return wbar.reshape(C, Q), Ubar, phibar
 
 
 def fused_tensor_predict(w: jnp.ndarray, U: jnp.ndarray, I: jnp.ndarray,

@@ -1,0 +1,82 @@
+"""Diagnostics tests: frequency-RMSE breakdown + kernel-approximation study."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpt_tpu.diagnostics.cf_analysis import (
+    FreqRMSE,
+    entity_frequencies,
+    load_bayespmf_predictions,
+    rmse_by_frequency,
+)
+from gpt_tpu.diagnostics.kernel_approx import (
+    compare_gram,
+    nystrom_gram,
+    rff_convergence_study,
+    rff_gram,
+    svd_gram,
+)
+from gpt_tpu.inference.hyper import se_ard_kernel
+
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference data not mounted"
+)
+
+
+def test_entity_frequencies():
+    f = entity_frequencies(np.array([0, 0, 2, 1, 0]), 4)
+    np.testing.assert_array_equal(f, [3, 1, 1, 0])
+
+
+def test_rmse_by_frequency_groups():
+    train_freq = np.array([5, 1, 0])
+    test_ids = np.array([0, 0, 1, 2])
+    errors = np.array([1.0, 3.0, 2.0, 4.0])
+    out = rmse_by_frequency(test_ids, errors, train_freq)
+    np.testing.assert_array_equal(out.freqs, [0, 1, 5])
+    np.testing.assert_allclose(out.rmse[2], np.sqrt((1 + 9) / 2))  # freq-5 group
+    np.testing.assert_allclose(out.rmse[1], 2.0)
+    np.testing.assert_allclose(out.rmse[0], 4.0)
+
+
+def test_rmse_by_frequency_binned():
+    train_freq = np.arange(100)
+    test_ids = np.arange(100)
+    errors = np.ones(100)
+    out = rmse_by_frequency(test_ids, errors, train_freq, bins=np.array([0, 10, 50]))
+    np.testing.assert_array_equal(out.counts, [10, 40, 50])
+    np.testing.assert_allclose(out.rmse, np.ones(3))
+
+
+@needs_ref
+def test_bayespmf_predictions_loadable():
+    pred = load_bayespmf_predictions()
+    assert pred.shape == (20000,)
+    assert 1.0 <= pred.mean() <= 5.0
+
+
+def test_svd_beats_rff_beats_nothing(key):
+    """Ordering sanity on a small SE Gram: best-rank-m ≤ Nyström ≲ RFF error;
+    the reference's study shows exactly this ordering
+    (``Plots/ppfull_plot.png``)."""
+    kx, ky, kf = jax.random.split(key, 3)
+    X = jax.random.normal(kx, (80, 3))
+    y = jax.random.normal(ky, (80,))
+    K = se_ard_kernel(X, X, 1.0, 1.0)
+    m = 20
+    r_svd = compare_gram(K, svd_gram(K, m), y, 0.1)
+    r_nys = compare_gram(K, nystrom_gram(K, jnp.arange(m)), y, 0.1)
+    r_rff = compare_gram(K, rff_gram(kf, X, m, 1.0, 1.0), y, 0.1)
+    assert float(r_svd.frobenius_rel) <= float(r_nys.frobenius_rel) + 1e-6
+    assert float(r_svd.frobenius_rel) < float(r_rff.frobenius_rel)
+
+
+def test_rff_convergence_decreases(key):
+    kx, ky = jax.random.split(key)
+    X = jax.random.normal(kx, (60, 2))
+    y = jax.random.normal(ky, (60,))
+    study = rff_convergence_study(key, X, y, 1.0, 1.0, 0.1, ms=(50, 800), num_seeds=2)
+    assert study[800][0] < study[50][0]
