@@ -163,14 +163,19 @@ def make_sgld_step(
                     newU = stiefel.cayley_retract(p, mom, sqe)
                 else:
                     newU = stiefel.geodesic(p, mom, sqe)
-                # Reject steps that leave the manifold numerically: huge
-                # gradients make the f32 transport algebra inaccurate and the
-                # result drifts off V_{n,r} while staying finite (observed
-                # ‖UᵀU−I‖ ≈ 3e2 on diverged chains). The reference's only
-                # guard is the NaN abort (GPT_SGLD.jl:23-26); this also
-                # catches finite off-manifold escapes.
+                # Newton–Schulz polar correction wipes per-step float drift
+                # (the reference only re-normalises columns, allowing
+                # cross-column drift to accumulate), then reject steps that
+                # are still far off-manifold — that only happens when the
+                # gradient blew up (observed ‖UᵀU−I‖ ≈ 3e2 on diverged
+                # chains). The reference's only guard is the NaN abort
+                # (GPT_SGLD.jl:23-26).
+                newU = stiefel.orthonormalize(newU)
                 r_dim = newU.shape[-1]
-                UtU = jnp.einsum("...ni,...nj->...ij", newU, newU)
+                UtU = jnp.einsum(
+                    "...ni,...nj->...ij", newU, newU,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
                 orth_err = jnp.max(
                     jnp.abs(UtU - jnp.eye(r_dim, dtype=newU.dtype)),
                     axis=(-2, -1),
@@ -244,6 +249,7 @@ def run_sgld(
     burnin: int,
     maxepoch: int,
     collect_fn: Callable | None = None,
+    initial_state: SGLDState | None = None,
 ):
     """Run one SGLD chain; returns (final_state, collected, rejected).
 
@@ -262,6 +268,10 @@ def run_sgld(
     ``(N, D, n)`` tensor-feature array, an ``(N, n)`` full-feature matrix, a
     ``(phiU, phiV)`` pair for the 2-D Kronecker models, …) — whatever the
     model's ``log_lik`` consumes.
+
+    ``initial_state`` resumes a checkpointed run *exactly*: the state carries
+    the PRNG key, so ``run(20 epochs)`` ≡ ``run(10) → checkpoint → resume(10)``
+    bitwise (mid-run resume — absent from the reference, SURVEY.md §5).
     """
     N = y.shape[0]
     B, pad = _pad_data(N, m)
@@ -297,7 +307,7 @@ def run_sgld(
         state, _ = jax.lax.scan(batch_body, state, jnp.arange(B))
         return state, collect_fn(state.params)
 
-    state0 = sgld_init(params0, key, config)
+    state0 = initial_state if initial_state is not None else sgld_init(params0, key, config)
     final, collected = jax.lax.scan(epoch_body, state0, None, length=burnin + maxepoch)
     collected = jax.tree.map(lambda a: a[burnin:], collected)
     return final, collected

@@ -34,6 +34,7 @@ def make_multichip_sgld_step(
     mesh,
     config: SGLDConfig,
     data_size: int,
+    jit: bool = True,
 ) -> Callable:
     """Build a jitted multi-chip SGLD step over a ``(chain, data)`` mesh.
 
@@ -75,7 +76,9 @@ def make_multichip_sgld_step(
         # local chains). vmap the kernel over local chains.
         return jax.vmap(lambda st: inner_step(st, (phi_b, y_b, wts_b)))(states)
 
-    return jax.jit(sharded_step)
+    if jit:
+        return jax.jit(sharded_step)
+    return sharded_step
 
 
 def init_chain_states(model, key: jax.Array, num_chains: int, config: SGLDConfig) -> SGLDState:
@@ -104,8 +107,11 @@ def run_sharded_chains(
 
     Equivalent to :func:`gpt_tpu.inference.run_sgld_chains` but with chains
     laid out over the mesh chain axis and each minibatch sharded over the data
-    axis. Returns ``(final_states, collected)`` with collected thinned to
-    post-burnin epoch ends.
+    axis. The whole run — epoch permutation, batch sweep, sharded step,
+    thinned collection — is ONE jitted ``lax.scan`` whose body contains the
+    ``shard_map`` step, so per-step host dispatch never happens.
+    Returns ``(final_states, collected)``; ``collected`` has shape
+    ``(chains, maxepoch, ...)`` thinned to post-burnin epoch ends.
     """
     from jax.sharding import NamedSharding
 
@@ -114,28 +120,45 @@ def run_sharded_chains(
     pad = B * m - N
     phi_pad = jnp.concatenate([phi, jnp.zeros_like(phi[:1])], axis=0)
     y_pad = jnp.concatenate([y, jnp.zeros_like(y[:1])], axis=0)
+    wts_all = jnp.concatenate(
+        [jnp.ones((N,), y.dtype), jnp.zeros((pad,), y.dtype)]
+    )
 
     if collect_fn is None:
         collect_fn = lambda p: p
 
-    step = make_multichip_sgld_step(model, mesh, config, N)
+    step = make_multichip_sgld_step(model, mesh, config, N, jit=False)
     states = init_chain_states(model, key, num_chains, config)
+    states = states._replace(
+        params=jax.tree.map(lambda a: a.astype(y.dtype), states.params)
+    )
     states = jax.device_put(states, NamedSharding(mesh, P(CHAIN_AXIS)))
-
     kperm = jax.random.fold_in(key, 0x5EED)
-    collected = []
-    for epoch in range(burnin + maxepoch):
-        ke = jax.random.fold_in(kperm, epoch)
+
+    def epoch_body(st, ke):
         perm = jax.random.permutation(ke, N)
+        # pads live in the last batch with weight 0 (as the reference's ragged
+        # final batch does)
         idx = jnp.concatenate([perm, jnp.full((pad,), N, perm.dtype)]).reshape(B, m)
-        wts = jnp.concatenate(
-            [jnp.ones((N,), phi.dtype), jnp.zeros((pad,), phi.dtype)]
-        ).reshape(B, m)
-        for b in range(B):
-            states = step(states, phi_pad[idx[b]], y_pad[idx[b]], wts[b])
-        if epoch >= burnin:
-            collected.append(jax.vmap(collect_fn)(states.params))
-    collected = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *collected)
+        wts = wts_all.reshape(B, m)
+
+        def batch_body(s, b):
+            return step(s, phi_pad[idx[b]], y_pad[idx[b]], wts[b]), None
+
+        st, _ = jax.lax.scan(batch_body, st, jnp.arange(B))
+        return st, jax.vmap(collect_fn)(st.params)
+
+    @jax.jit
+    def run(states, keys):
+        return jax.lax.scan(epoch_body, states, keys)
+
+    keys = jax.vmap(lambda e: jax.random.fold_in(kperm, e))(
+        jnp.arange(burnin + maxepoch)
+    )
+    states, collected = run(states, keys)
+    collected = jax.tree.map(
+        lambda a: jnp.swapaxes(a[burnin:], 0, 1), collected
+    )
     return states, collected
 
 

@@ -20,9 +20,16 @@ TPU-first deviations from the reference:
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import expm as _expm
+
+# All manifold algebra runs at HIGHEST matmul precision: the matrices are tiny
+# (n×r, r ≤ ~50) so the f32 passes cost nothing, while default bf16 MXU inputs
+# accumulate enough error over 10⁴-10⁵ transports to walk U off the manifold.
+_einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 
 def project_tangent(U: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
@@ -31,9 +38,9 @@ def project_tangent(U: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
     ``proj(U, V) = V - U (UᵀV + VᵀU) / 2`` (reference: ``GPT_SGLD.jl:14-16``).
     Batched over leading axes of both arguments.
     """
-    UtV = jnp.einsum("...ji,...jk->...ik", U, V)
+    UtV = _einsum("...ji,...jk->...ik", U, V)
     sym = (UtV + jnp.swapaxes(UtV, -1, -2)) / 2
-    return V - jnp.einsum("...ij,...jk->...ik", U, sym)
+    return V - _einsum("...ij,...jk->...ik", U, sym)
 
 
 def _geodesic_blocks(U: jnp.ndarray, mom: jnp.ndarray, t) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -46,8 +53,8 @@ def _geodesic_blocks(U: jnp.ndarray, mom: jnp.ndarray, t) -> tuple[jnp.ndarray, 
     leading batch axes and let XLA batch the Padé evaluation.
     """
     r = U.shape[-1]
-    A = jnp.einsum("...ji,...jk->...ik", U, mom)  # UᵀM, (..., r, r)
-    MtM = jnp.einsum("...ji,...jk->...ik", mom, mom)  # MᵀM
+    A = _einsum("...ji,...jk->...ik", U, mom)  # UᵀM, (..., r, r)
+    MtM = _einsum("...ji,...jk->...ik", mom, mom)  # MᵀM
     eye = jnp.broadcast_to(jnp.eye(r, dtype=U.dtype), A.shape)
     top = jnp.concatenate([A, -MtM], axis=-1)
     bot = jnp.concatenate([eye, A], axis=-1)
@@ -61,7 +68,7 @@ def _geodesic_blocks(U: jnp.ndarray, mom: jnp.ndarray, t) -> tuple[jnp.ndarray, 
     mexp = expm_fn(-t[..., None, None] * A if t.ndim else -t * A)
 
     UM = jnp.concatenate([U, mom], axis=-1)  # (..., n, 2r)
-    return jnp.einsum("...nj,...jk->...nk", UM, E), mexp
+    return _einsum("...nj,...jk->...nk", UM, E), mexp
 
 
 def _normalize_columns(U: jnp.ndarray) -> jnp.ndarray:
@@ -78,7 +85,7 @@ def geodesic(U: jnp.ndarray, mom: jnp.ndarray, t) -> jnp.ndarray:
     """
     r = U.shape[-1]
     UME, mexp = _geodesic_blocks(U, mom, t)
-    new_U = jnp.einsum("...nj,...jk->...nk", UME[..., :r], mexp)
+    new_U = _einsum("...nj,...jk->...nk", UME[..., :r], mexp)
     return _normalize_columns(new_U)
 
 
@@ -90,8 +97,8 @@ def geodesic_with_momentum(U: jnp.ndarray, mom: jnp.ndarray, t) -> tuple[jnp.nda
     """
     r = U.shape[-1]
     UME, mexp = _geodesic_blocks(U, mom, t)
-    new_U = jnp.einsum("...nj,...jk->...nk", UME[..., :r], mexp)
-    new_mom = jnp.einsum("...nj,...jk->...nk", UME[..., r:], mexp)
+    new_U = _einsum("...nj,...jk->...nk", UME[..., :r], mexp)
+    new_mom = _einsum("...nj,...jk->...nk", UME[..., r:], mexp)
     return _normalize_columns(new_U), new_mom
 
 
@@ -112,19 +119,19 @@ def cayley_retract(U: jnp.ndarray, G: jnp.ndarray, t) -> jnp.ndarray:
     where exact geodesics are unnecessary.
     """
     t = jnp.asarray(t, dtype=U.dtype)
-    A = G - 0.5 * jnp.einsum(
-        "...ni,...ij->...nj", U, jnp.einsum("...ni,...nj->...ij", U, G)
+    A = G - 0.5 * _einsum(
+        "...ni,...ij->...nj", U, _einsum("...ni,...nj->...ij", U, G)
     )
     J = jnp.concatenate([A, U], axis=-1)  # (..., n, 2r)
     K = jnp.concatenate([U, -A], axis=-1)  # (..., n, 2r)
-    KtJ = jnp.einsum("...ni,...nj->...ij", K, J)  # (..., 2r, 2r)
+    KtJ = _einsum("...ni,...nj->...ij", K, J)  # (..., 2r, 2r)
     r2 = KtJ.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(r2, dtype=U.dtype), KtJ.shape)
     tb = t[..., None, None] if t.ndim else t
     M = eye - (tb / 2) * KtJ
-    KtU = jnp.einsum("...ni,...nk->...ik", K, U)  # (..., 2r, r)
+    KtU = _einsum("...ni,...nk->...ik", K, U)  # (..., 2r, r)
     sol = jnp.linalg.solve(M, KtU)
-    return U + tb * jnp.einsum("...nj,...jk->...nk", J, sol)
+    return U + tb * _einsum("...nj,...jk->...nk", J, sol)
 
 
 def sample_stiefel(key: jax.Array, n: int, r: int, *, batch: tuple[int, ...] = (),
@@ -152,6 +159,23 @@ def sample_stiefel(key: jax.Array, n: int, r: int, *, batch: tuple[int, ...] = (
     return Q * sign[..., None, :]
 
 
+def orthonormalize(U: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
+    """Newton–Schulz polar correction: project a near-orthonormal frame back
+    onto V_{n,r} with matmuls only.
+
+    ``X ← X(3I − XᵀX)/2`` converges quadratically to the polar factor for
+    ‖XᵀX − I‖ < 1 — two iterations take the residual float-roundoff drift of a
+    transport (~1e-3 on bf16-era TPUs) to ~1e-7. Used by the samplers after
+    every Stiefel transport; MXU-friendly unlike a per-step QR.
+    """
+    eye = jnp.eye(U.shape[-1], dtype=U.dtype)
+    X = U
+    for _ in range(iters):
+        XtX = _einsum("...ni,...nj->...ij", X, X)
+        X = 0.5 * _einsum("...ni,...ij->...nj", X, 3.0 * eye - XtX)
+    return X
+
+
 def guard(new: jnp.ndarray, old: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Reject non-finite transport results: keep ``old`` where ``new`` has NaN/Inf.
 
@@ -166,5 +190,5 @@ def guard(new: jnp.ndarray, old: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]
 def check_orthonormal(U: jnp.ndarray, atol: float = 1e-4) -> jnp.ndarray:
     """Max deviation of UᵀU from the identity (diagnostic)."""
     r = U.shape[-1]
-    UtU = jnp.einsum("...ni,...nj->...ij", U, U)
+    UtU = _einsum("...ni,...nj->...ij", U, U)
     return jnp.max(jnp.abs(UtU - jnp.eye(r, dtype=U.dtype)))

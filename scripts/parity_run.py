@@ -113,8 +113,18 @@ def synth():
     preds = jax.vmap(lambda p: model.predict(p, phi))(collected)
     post = float(rmse(jnp.mean(preds, 0), y))
     prior = float(rmse(model.predict(params0, phi), y))
+
+    # conjugate Gibbs on the same problem — the better-mixing engine
+    from gpt_tpu.inference import init_gibbs_params, run_gibbs
+
+    g0 = init_gibbs_params(model, jax.random.PRNGKey(3))
+    gfinal, gcol = run_gibbs(model, g0, jax.random.PRNGKey(4), phi, y,
+                             num_iterations=120, burnin=40)
+    gpreds = jax.vmap(lambda p: model.predict(p, phi))(gcol)
+    gibbs_post = float(rmse(jnp.mean(gpreds, 0), y))
     log("synth5d_recovery",
-        posterior_rmse=post, prior_rmse=prior, noise_sd=0.1,
+        posterior_rmse_sgld=post, posterior_rmse_gibbs=gibbs_post,
+        prior_rmse=prior, noise_sd=0.1,
         rejected=int(final.rejected), seconds=round(time.time() - t0, 1))
 
 
@@ -142,7 +152,10 @@ def write_parity_md():
         lines.append(f"| ML-100k full-w side-info SGLD (200 ep) best avg RMSE | {m['best_avg_rmse']:.4f} | 0.9531 (curve min) | fullWresults.h5 |")
     if "synth5d_recovery" in r:
         m = r["synth5d_recovery"]
-        lines.append(f"| TensorSynth5D posterior recovery RMSE (noise sd 0.1) | {m['posterior_rmse']:.4f} | prior {m['prior_rmse']:.3f} → noise floor 0.1 | SynthDataExperiment.jl |")
+        lines.append(
+            f"| TensorSynth5D posterior RMSE (noise sd 0.1): SGLD ref-config / Gibbs | "
+            f"{m['posterior_rmse_sgld']:.4f} / {m['posterior_rmse_gibbs']:.4f} | "
+            f"prior {m['prior_rmse']:.3f} → noise floor ≈0.1 | SynthDataExperiment.jl, TGP.jl |")
     lines += ["", "Timing and rejection counts per run are in `RECORDS.jsonl`."]
     with open(os.path.join(os.path.dirname(RECORDS), "PARITY.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -92,3 +92,29 @@ def test_checkpoint_roundtrip(tmp_path, key):
     restored = load_checkpoint(path, state)
     np.testing.assert_allclose(restored.params.theta, state.params.theta)
     assert int(restored.step) == int(state.step)
+
+
+def test_midrun_resume_exact(key, tmp_path):
+    """run(20 epochs) ≡ run(10) → checkpoint → restore → resume(10) bitwise."""
+    from gpt_tpu.data.synth import make_tensor_synth
+    from gpt_tpu.inference import SGLDConfig, run_sgld
+    from gpt_tpu.models.tensor_gp import TensorGPParams
+
+    s = make_tensor_synth(jax.random.PRNGKey(0), N=60, D=3, n=4, r=2, Q=6)
+    y = s.y[0.1]
+    cfg = SGLDConfig(eps=TensorGPParams(w=1e-5, U=1e-7))
+    p0 = s.model.init_params(jax.random.fold_in(key, 1))
+    kw = dict(m=20, config=cfg, collect_fn=lambda p: p.w)
+
+    full, col_full = run_sgld(s.model, p0, key, s.phi, y, burnin=0, maxepoch=20, **kw)
+
+    half, _ = run_sgld(s.model, p0, key, s.phi, y, burnin=0, maxepoch=10, **kw)
+    path = str(tmp_path / "mid")
+    save_checkpoint(path, half)
+    restored = load_checkpoint(path, half)
+    resumed, col_resumed = run_sgld(
+        s.model, p0, key, s.phi, y, burnin=0, maxepoch=10,
+        initial_state=restored, **kw
+    )
+    np.testing.assert_array_equal(resumed.params.w, full.params.w)
+    np.testing.assert_array_equal(col_resumed, col_full[10:])
