@@ -70,6 +70,14 @@ POWER_PLANT_TENSOR = TensorPreset(
     burnin=90, maxepoch=10,
 )
 
+# kin40k no-tensor — kin40kNoTensorExperiment.jl:34-46
+KIN40K_NOTENSOR = FullThetaPreset(
+    n=8000, m=50, eps_theta=2e-4,
+    length_scale=(2.5242, 2.3376, 1.3630, 1.4949, 1.6022, 1.1366, 1.1964, 1.7028),
+    sigma_RBF=1.0420, signal_var=0.0476,
+    maxepoch=100, avg_start=60,
+)
+
 # kin40k tensor — kin40kExperiment.jl:20-52
 KIN40K_TENSOR = TensorPreset(
     n=150, r=20, Q=200, m=50, epsw=1e-4, epsU=1e-7,

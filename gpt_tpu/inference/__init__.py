@@ -6,6 +6,11 @@ from gpt_tpu.inference.sgld import (
 )
 from gpt_tpu.inference.gmc import GMCConfig, run_gmc
 from gpt_tpu.inference.gibbs import GibbsConfig, gibbs_sweep, run_gibbs, init_gibbs_params
+from gpt_tpu.inference.cf_gibbs import CFGibbsConfig, cf_gibbs_sweep, run_cf_gibbs
+from gpt_tpu.inference.cf_sgld import run_cf_sgld_thresh, inclusion_probabilities
+from gpt_tpu.inference.vi import VIConfig, VIState, init_vi, run_vi, vi_step
+from gpt_tpu.inference.hmc import HMCConfig, run_adaptive_hmc
+from gpt_tpu.inference.parafac import parafac_posterior_mean, parafac_predict
 from gpt_tpu.inference.hyper import (
     StochasticEMConfig,
     gp_nlml,
@@ -16,6 +21,20 @@ from gpt_tpu.inference.hyper import (
 )
 
 __all__ = [
+    "CFGibbsConfig",
+    "cf_gibbs_sweep",
+    "run_cf_gibbs",
+    "run_cf_sgld_thresh",
+    "inclusion_probabilities",
+    "VIConfig",
+    "VIState",
+    "init_vi",
+    "run_vi",
+    "vi_step",
+    "HMCConfig",
+    "run_adaptive_hmc",
+    "parafac_posterior_mean",
+    "parafac_predict",
     "GibbsConfig",
     "gibbs_sweep",
     "run_gibbs",

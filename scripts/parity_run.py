@@ -128,7 +128,55 @@ def synth():
         rejected=int(final.rejected), seconds=round(time.time() - t0, 1))
 
 
+def gmc():
+    """PP tensor GMC, L=30 — reference: test RMSE 4.1126 at 100 epochs in
+    23633 s, 4.0598 at 500 epochs in 137614 s (DataRecords.txt:112-118)."""
+    from gpt_tpu.features import sample_tensor_rff, tensor_features, tensor_phi_scale
+    from gpt_tpu.inference import GMCConfig, run_gmc
+    from gpt_tpu.models import sample_core_indices
+
+    split = load_power_plant()
+    P = C.POWER_PLANT_TENSOR
+    key = jax.random.PRNGKey(17)
+    kI, kf, kp, ks = jax.random.split(key, 4)
+    D = split.X_train.shape[1]
+    I = sample_core_indices(kI, P.r, D, P.Q)
+    rff = sample_tensor_rff(kf, P.n, D)
+    sc = tensor_phi_scale(P.n, P.Q, D)
+    phi_tr = tensor_features(jnp.asarray(split.X_train, jnp.float32), rff,
+                             P.length_scale, P.sigma_RBF, sc)
+    phi_te = tensor_features(jnp.asarray(split.X_test, jnp.float32), rff,
+                             P.length_scale, P.sigma_RBF, sc)
+    y_tr = jnp.asarray(split.y_train, jnp.float32)
+    model = TensorGP(n=P.n, r=P.r, D=D, I=I, signal_var=P.signal_var)
+    params0 = model.init_params(kp)
+    cfg = GMCConfig(eps=TensorGPParams(w=P.epsw, U=P.epsU), num_leapfrog=30)
+    t0 = time.time()
+    final, collected, accept = run_gmc(
+        model, params0, ks, phi_tr, y_tr,
+        config=cfg, burnin=20, maxepoch=80,
+        collect_fn=lambda p: model.predict(p, phi_te),
+    )
+    dt = time.time() - t0
+    mean_pred = jnp.mean(collected, axis=0)
+    y_te = jnp.asarray(split.y_test, jnp.float32)
+    test_rmse = float(split.y_std * rmse(mean_pred, y_te))
+    log("pp_gmc_L30",
+        test_rmse=test_rmse,
+        mean_accept=float(jnp.mean(jnp.minimum(accept, 1.0))),
+        seconds=round(dt, 1),
+        reference_rmse_100ep=4.1126, reference_seconds_100ep=23633)
+
+
 def write_parity_md():
+    # merge with the latest prior results so partial re-runs keep the table full
+    from gpt_tpu.utils.records import read_records
+
+    prior = {}
+    for rec in read_records(RECORDS):  # chronological; keep the latest
+        prior[rec["experiment"]] = rec["metrics"]
+    for name, metrics in prior.items():
+        results.setdefault(name, metrics)
     lines = [
         "# PARITY — full-config runs vs reference logged numbers",
         "",
@@ -150,6 +198,11 @@ def write_parity_md():
     if "ml100k_fullw_sideinfo" in r:
         m = r["ml100k_fullw_sideinfo"]
         lines.append(f"| ML-100k full-w side-info SGLD (200 ep) best avg RMSE | {m['best_avg_rmse']:.4f} | 0.9531 (curve min) | fullWresults.h5 |")
+    if "pp_gmc_L30" in r:
+        m = r["pp_gmc_L30"]
+        lines.append(
+            f"| PP tensor GMC L=30 (100 ep) posterior-mean test RMSE / wall time | "
+            f"{m['test_rmse']:.4f} / {m['seconds']:.0f}s | 4.1126 / 23633s | DataRecords.txt:112-114 |")
     if "synth5d_recovery" in r:
         m = r["synth5d_recovery"]
         lines.append(
@@ -162,9 +215,9 @@ def write_parity_md():
 
 
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["pp_notensor", "pp_tensor", "synth", "kin40k", "movielens"]
+    which = sys.argv[1:] or ["pp_notensor", "pp_tensor", "synth", "kin40k", "movielens", "gmc"]
     for name in which:
         {"pp_notensor": pp_notensor, "pp_tensor": pp_tensor, "kin40k": kin40k,
-         "movielens": movielens, "synth": synth}[name]()
+         "movielens": movielens, "synth": synth, "gmc": gmc}[name]()
     write_parity_md()
     print("PARITY.md written")
