@@ -90,6 +90,9 @@ class TensorGP:
     # also a matmul — 36x faster than the gather/scatter pair on TPU
     # (measured v5e: grad 49ms gather vs 1.4ms onehot at C=64 chains).
     contraction: str = "onehot"
+    # matmul precision for predict/log_lik; set "highest" for MH-exact
+    # samplers (GMC) where bf16 MXU rounding corrupts the accept ratio.
+    precision: str | None = None
 
     @property
     def Q(self) -> int:
@@ -132,7 +135,8 @@ class TensorGP:
             U = params.U.reshape(C, self.D, self.n, self.r)
             out = fused_tensor_predict(w, U, self.I, phi)
             return out.reshape(*lead, phi.shape[0])
-        return tensor_predict(params.w, params.U, self.I, phi, mode=self.contraction)
+        return tensor_predict(params.w, params.U, self.I, phi,
+                              mode=self.contraction, precision=self.precision)
 
     def log_lik(self, params: TensorGPParams, phi: jnp.ndarray, y: jnp.ndarray,
                 weight: jnp.ndarray | None = None) -> jnp.ndarray:

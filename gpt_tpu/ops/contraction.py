@@ -30,13 +30,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def phidot(phi: jnp.ndarray, U: jnp.ndarray) -> jnp.ndarray:
+def phidot(phi: jnp.ndarray, U: jnp.ndarray, *, precision=None) -> jnp.ndarray:
     """``temp[..., i, k, l] = ⟨φ[i, k, :], U[..., k, :, l]⟩``.
 
     phi: ``(N, D, n)``; U: ``(..., D, n, r)`` → ``(..., N, D, r)``.
     Reference: ``phidotU`` (``GPT_SGLD.jl:192-205``).
     """
-    return jnp.einsum("idn,...dnr->...idr", phi, U)
+    return jnp.einsum("idn,...dnr->...idr", phi, U, precision=precision)
 
 
 def core_indicator(I: jnp.ndarray, r: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -45,7 +45,8 @@ def core_indicator(I: jnp.ndarray, r: int, dtype=jnp.float32) -> jnp.ndarray:
     return (I[:, :, None] == jnp.arange(r)[None, None, :]).astype(dtype)
 
 
-def core_products(temp: jnp.ndarray, I: jnp.ndarray, *, mode: str = "gather") -> jnp.ndarray:
+def core_products(temp: jnp.ndarray, I: jnp.ndarray, *, mode: str = "gather",
+                  precision=None) -> jnp.ndarray:
     """``V[..., i, q] = Π_k temp[..., i, k, I[q, k]]``.
 
     temp: ``(..., N, D, r)``; I: ``(Q, D)`` int → ``(..., N, Q)``.
@@ -60,17 +61,21 @@ def core_products(temp: jnp.ndarray, I: jnp.ndarray, *, mode: str = "gather") ->
     elif mode == "onehot":
         onehot = core_indicator(I, temp.shape[-1], dtype=temp.dtype)
         # g[..., i, d, q] = Σ_r temp[..., i, d, r] · onehot[q, d, r]  (MXU matmul per d)
-        g = jnp.einsum("...idr,qdr->...idq", temp, onehot)
+        g = jnp.einsum("...idr,qdr->...idq", temp, onehot, precision=precision)
         return jnp.prod(g, axis=-2)
     raise ValueError(f"unknown mode {mode!r}")
 
 
 def tensor_predict(w: jnp.ndarray, U: jnp.ndarray, I: jnp.ndarray,
-                   phi: jnp.ndarray, *, mode: str = "gather") -> jnp.ndarray:
+                   phi: jnp.ndarray, *, mode: str = "gather",
+                   precision=None) -> jnp.ndarray:
     """Full chain ``fhat[..., i] = Σ_q w[..., q] · V[..., i, q]``.
 
-    Reference: ``pred`` (``GPT_SGLD.jl:232-243``).
+    Reference: ``pred`` (``GPT_SGLD.jl:232-243``). ``precision`` pins the MXU
+    matmul precision — pass ``"highest"`` for MH-exact samplers (GMC/HMC),
+    where default bf16 inputs corrupt the Hamiltonian by thousands of nats on
+    full-batch likelihoods.
     """
-    temp = phidot(phi, U)
-    V = core_products(temp, I, mode=mode)
-    return jnp.einsum("...iq,...q->...i", V, w)
+    temp = phidot(phi, U, precision=precision)
+    V = core_products(temp, I, mode=mode, precision=precision)
+    return jnp.einsum("...iq,...q->...i", V, w, precision=precision)

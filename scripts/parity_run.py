@@ -148,10 +148,28 @@ def gmc():
     phi_te = tensor_features(jnp.asarray(split.X_test, jnp.float32), rff,
                              P.length_scale, P.sigma_RBF, sc)
     y_tr = jnp.asarray(split.y_train, jnp.float32)
-    model = TensorGP(n=P.n, r=P.r, D=D, I=I, signal_var=P.signal_var)
+    # MH-exact sampler needs an accurate Hamiltonian: bf16 MXU rounding on the
+    # full-batch likelihood zeroes the acceptance probability.
+    model = TensorGP(n=P.n, r=P.r, D=D, I=I, signal_var=P.signal_var,
+                     precision="highest")
     params0 = model.init_params(kp)
-    cfg = GMCConfig(eps=TensorGPParams(w=P.epsw, U=P.epsU), num_leapfrog=30)
+    y_te = jnp.asarray(split.y_test, jnp.float32)
     t0 = time.time()
+    # probe step sizes (the reference's eps comes from a commented block;
+    # target a healthy acceptance rate, then run the full budget)
+    chosen = None
+    for epsw, epsU in [(P.epsw, P.epsU), (P.epsw / 4, P.epsU / 4), (P.epsw / 16, P.epsU / 16)]:
+        cfg = GMCConfig(eps=TensorGPParams(w=epsw, U=epsU), num_leapfrog=30)
+        _, _, acc = run_gmc(model, params0, ks, phi_tr, y_tr,
+                            config=cfg, burnin=0, maxepoch=8,
+                            collect_fn=lambda p: ())
+        a = float(jnp.mean(jnp.minimum(acc, 1.0)))
+        print(f"  gmc probe epsw={epsw:g}: accept={a:.2f}", flush=True)
+        chosen = (epsw, epsU, a)
+        if 0.2 <= a <= 0.97:
+            break
+    epsw, epsU, _ = chosen
+    cfg = GMCConfig(eps=TensorGPParams(w=epsw, U=epsU), num_leapfrog=30)
     final, collected, accept = run_gmc(
         model, params0, ks, phi_tr, y_tr,
         config=cfg, burnin=20, maxepoch=80,
@@ -159,10 +177,9 @@ def gmc():
     )
     dt = time.time() - t0
     mean_pred = jnp.mean(collected, axis=0)
-    y_te = jnp.asarray(split.y_test, jnp.float32)
     test_rmse = float(split.y_std * rmse(mean_pred, y_te))
     log("pp_gmc_L30",
-        test_rmse=test_rmse,
+        test_rmse=test_rmse, epsw=epsw, epsU=epsU,
         mean_accept=float(jnp.mean(jnp.minimum(accept, 1.0))),
         seconds=round(dt, 1),
         reference_rmse_100ep=4.1126, reference_seconds_100ep=23633)

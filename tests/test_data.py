@@ -82,3 +82,41 @@ def test_movielens_fold():
     assert 0 <= ml.train[:, 0].min() and ml.train[:, 0].max() < 943
     assert abs(ml.train[:, 2].mean()) < 1e-10
     assert 1.0 < ml.rating_std < 1.3 and 3.4 < ml.rating_mean < 3.7
+
+
+def test_movielens_1m_loader_with_synthetic_distribution(tmp_path):
+    """Exercise the ml-1m loader on a synthetic copy of the distribution
+    format (the real data is absent from the reference checkout)."""
+    base = tmp_path / "ml-1m"
+    base.mkdir()
+    rng = np.random.default_rng(0)
+    (base / "users.dat").write_text(
+        "".join(f"{u+1}::{'MF'[u%2]}::{[1,18,25][u%3]}::{u%4}::0000\n" for u in range(6))
+    )
+    # movie ids sparse (1, 5, 9) to exercise remapping
+    (base / "movies.dat").write_text(
+        "1::A (1990)::Action|Comedy\n5::B (1991)::Drama\n9::C (1992)::Sci-Fi|War\n"
+    )
+    lines = []
+    for _ in range(50):
+        u = int(rng.integers(1, 7)); m = int(rng.choice([1, 5, 9])); r = int(rng.integers(1, 6))
+        lines.append(f"{u}::{m}::{r}::978300760\n")
+    (base / "ratings.dat").write_text("".join(lines))
+
+    from gpt_tpu.data.movielens1m import load_movielens_1m
+
+    fold = load_movielens_1m(str(tmp_path), n_train=40)
+    assert fold.train.shape == (40, 3)
+    assert fold.test.shape == (10, 3)
+    assert fold.num_movies == 3
+    assert set(np.unique(fold.train[:, 1])) <= {0.0, 1.0, 2.0}
+    assert fold.movie_data.shape == (3, 18)
+    assert fold.movie_data[0].sum() == 2  # Action|Comedy
+    assert abs(fold.train[:, 2].mean()) < 1e-9
+
+
+def test_movielens_1m_missing_raises():
+    from gpt_tpu.data.movielens1m import load_movielens_1m
+
+    with pytest.raises(FileNotFoundError, match="ml-1m"):
+        load_movielens_1m("/nonexistent")

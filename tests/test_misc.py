@@ -118,3 +118,23 @@ def test_midrun_resume_exact(key, tmp_path):
     )
     np.testing.assert_array_equal(resumed.params.w, full.params.w)
     np.testing.assert_array_equal(col_resumed, col_full[10:])
+
+
+def test_posterior_predictor_serving(key):
+    """Serving path: chunked MC posterior-predictive equals direct average."""
+    from gpt_tpu.data.synth import make_tensor_synth
+    from gpt_tpu.experiments.serving import PosteriorPredictor
+    from gpt_tpu.inference import SGLDConfig, run_sgld
+    from gpt_tpu.models.tensor_gp import TensorGPParams
+
+    s = make_tensor_synth(jax.random.PRNGKey(0), N=90, D=3, n=4, r=2, Q=8)
+    cfg = SGLDConfig(eps=TensorGPParams(w=3e-5, U=3e-7))
+    p0 = s.model.init_params(key)
+    _, collected = run_sgld(
+        s.model, p0, key, s.phi, s.y[0.1], m=30, config=cfg, burnin=5, maxepoch=12
+    )
+    served = PosteriorPredictor(s.model.predict, collected, chunk=32)(s.phi)
+    direct = jax.vmap(lambda p: s.model.predict(p, s.phi))(collected)
+    np.testing.assert_allclose(served.mean, direct.mean(0), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(served.var, direct.var(0), rtol=1e-4, atol=1e-6)
+    assert served.mean.shape == (90,)
