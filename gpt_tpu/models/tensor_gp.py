@@ -125,6 +125,8 @@ class TensorGP:
     def predict(self, params: TensorGPParams, phi: jnp.ndarray) -> jnp.ndarray:
         """fhat over a feature batch ``phi (N, D, n)`` → ``(..., N)``."""
         if self.contraction == "pallas":
+            import jax as _jax
+
             from gpt_tpu.ops.pallas_contraction import fused_tensor_predict
 
             lead = params.w.shape[:-1]
@@ -133,7 +135,10 @@ class TensorGP:
                 C *= s
             w = params.w.reshape(C, self.Q)
             U = params.U.reshape(C, self.D, self.n, self.r)
-            out = fused_tensor_predict(w, U, self.I, phi)
+            out = fused_tensor_predict(
+                w, U, self.I, phi,
+                interpret=_jax.default_backend() != "tpu",
+            )
             return out.reshape(*lead, phi.shape[0])
         return tensor_predict(params.w, params.U, self.I, phi,
                               mode=self.contraction, precision=self.precision)

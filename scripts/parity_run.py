@@ -152,9 +152,15 @@ def gmc():
     # full-batch likelihood zeroes the acceptance probability.
     model = TensorGP(n=P.n, r=P.r, D=D, I=I, signal_var=P.signal_var,
                      precision="highest")
-    params0 = model.init_params(kp)
     y_te = jnp.asarray(split.y_test, jnp.float32)
     t0 = time.time()
+    # warm start from a short SGLD run (GMC from a random init wastes its
+    # budget traversing the prior; the reference burns thousands of seconds
+    # doing exactly that)
+    warm_cfg = SGLDConfig(eps=TensorGPParams(w=P.epsw, U=P.epsU), transport="geodesic")
+    warm, _ = run_sgld(model, model.init_params(kp), jax.random.fold_in(ks, 1),
+                       phi_tr, y_tr, m=P.m, config=warm_cfg, burnin=30, maxepoch=0)
+    params0 = warm.params
     # probe step sizes (the reference's eps comes from a commented block;
     # target a healthy acceptance rate, then run the full budget)
     chosen = None
@@ -166,7 +172,7 @@ def gmc():
         a = float(jnp.mean(jnp.minimum(acc, 1.0)))
         print(f"  gmc probe epsw={epsw:g}: accept={a:.2f}", flush=True)
         chosen = (epsw, epsU, a)
-        if 0.2 <= a <= 0.97:
+        if 0.2 <= a <= 0.95:
             break
     epsw, epsU, _ = chosen
     cfg = GMCConfig(eps=TensorGPParams(w=epsw, U=epsU), num_leapfrog=30)

@@ -138,3 +138,24 @@ def test_posterior_predictor_serving(key):
     np.testing.assert_allclose(served.mean, direct.mean(0), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(served.var, direct.var(0), rtol=1e-4, atol=1e-6)
     assert served.mean.shape == (90,)
+
+
+def test_eps_sensitivity_sweep(key):
+    """RMSEvsEps harness: diverging step sizes show up as worse RMSE."""
+    from gpt_tpu.data.synth import make_tensor_synth
+    from gpt_tpu.experiments.sweeps import eps_sensitivity
+    from gpt_tpu.models.tensor_gp import TensorGPParams
+
+    s = make_tensor_synth(jax.random.PRNGKey(0), N=80, D=3, n=4, r=2, Q=8)
+    y = s.y[0.1]
+    p0 = s.model.init_params(key)
+    res = eps_sensitivity(
+        s.model, p0, key, s.phi, y, s.phi, y,
+        make_eps=lambda e: TensorGPParams(w=e, U=e * 1e-2),
+        eps_values=[1e-6, 3e-5, 3e-2],
+        m=40, burnin=10, maxepoch=20,
+    )
+    assert res.curves.shape == (3, 20)
+    # the mid step size should beat both the too-small and the huge one
+    assert res.min_rmse[1] <= res.min_rmse[0] + 1e-6
+    assert res.min_rmse[1] < res.min_rmse[2] + 0.5
