@@ -8,12 +8,12 @@ NLML pieces (log-determinant and data inner product) that those errors drive.
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from gpt_tpu.features import FullRFF, full_features, sample_full_rff
+from gpt_tpu.features import full_features, sample_full_rff
 from gpt_tpu.inference.hyper import se_ard_kernel
 
 

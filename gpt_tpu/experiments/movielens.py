@@ -19,7 +19,7 @@ import numpy as np
 from gpt_tpu.data.loaders import MovieLensFold
 from gpt_tpu.experiments.configs import MovieLensPreset
 from gpt_tpu.inference import SGLDConfig, run_sgld
-from gpt_tpu.models.cf import CFBatch, CFModel, CFParams, denormalize_and_cutoff, ratings_batch
+from gpt_tpu.models.cf import CFModel, CFParams, denormalize_and_cutoff, ratings_batch
 
 
 class MovieLensRun(NamedTuple):

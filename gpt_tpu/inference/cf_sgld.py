@@ -18,8 +18,6 @@ noise is a masked dense normal — no dynamic shapes.
 """
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -21,7 +21,7 @@ A non-finite proposal is rejected by the MH test instead of aborting the run
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, NamedTuple
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ path; the same trick that makes the Tucker contraction fast).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import NamedTuple
 
 import jax

@@ -26,10 +26,21 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import expm as _expm
 
-# All manifold algebra runs at HIGHEST matmul precision: the matrices are tiny
-# (n×r, r ≤ ~50) so the f32 passes cost nothing, while default bf16 MXU inputs
-# accumulate enough error over 10⁴-10⁵ transports to walk U off the manifold.
-_einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+# Manifold algebra defaults to HIGHEST matmul precision: the matrices are
+# tiny (n×r, r ≤ ~50), while default bf16 MXU inputs accumulate enough error
+# over 10⁴-10⁵ transports to walk U off the manifold. With the per-step
+# Newton–Schulz correction (always HIGHEST) manifold adherence no longer
+# depends on transport precision, so SGLD-style samplers may trade transport
+# accuracy for speed via GPT_TPU_STIEFEL_PRECISION=default; MH-exact samplers
+# (GMC) should keep highest.
+import os as _os
+
+_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": None,
+}[_os.environ.get("GPT_TPU_STIEFEL_PRECISION", "highest")]
+_einsum = functools.partial(jnp.einsum, precision=_PRECISION)
+_einsum_hi = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 
 def project_tangent(U: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
@@ -171,8 +182,8 @@ def orthonormalize(U: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
     eye = jnp.eye(U.shape[-1], dtype=U.dtype)
     X = U
     for _ in range(iters):
-        XtX = _einsum("...ni,...nj->...ij", X, X)
-        X = 0.5 * _einsum("...ni,...ij->...nj", X, 3.0 * eye - XtX)
+        XtX = _einsum_hi("...ni,...nj->...ij", X, X)
+        X = 0.5 * _einsum_hi("...ni,...ij->...nj", X, 3.0 * eye - XtX)
     return X
 
 

@@ -110,3 +110,36 @@ def test_grad_full_features_scalar_matches_vector_sum(key):
     d_ell, _ = grad_full_features(X, rff, 1.3, 1.0)
     jac_scalar = jax.jacfwd(lambda l: full_features(X, rff, l, 1.0))(1.3)
     np.testing.assert_allclose(jnp.sum(d_ell, axis=-1), jac_scalar, atol=1e-4)
+
+
+def test_cf_hashing_features(key):
+    """CF hashing-trick features: M distinct ±1 positions per entity, correct
+    scaling, and kron-feature layout parity with a naive loop."""
+    import jax
+    from gpt_tpu.features import CFHashing, cf_features, cf_features_full, sample_cf_hashing
+
+    n, M, Nu, Nm = 16, 3, 5, 4
+    ku, km, kd1, kd2 = jax.random.split(key, 4)
+    uh = sample_cf_hashing(ku, n, M, Nu)
+    mh = sample_cf_hashing(km, n, M, Nm)
+    # distinct positions per entity
+    for e in range(Nu):
+        assert len(set(np.asarray(uh.positions[:, e]))) == M
+    assert set(np.unique(uh.signs)) <= {-1.0, 1.0}
+
+    user_data = jax.random.uniform(kd1, (Nu, 2))
+    movie_data = jax.random.uniform(kd2, (Nm, 3))
+    a, b1, b2 = 0.7, 0.3, 0.4
+    pu, pm = cf_features(user_data, movie_data, uh, mh, a, b1, b2)
+    assert pu.shape == (Nu, n + 2) and pm.shape == (Nm, n + 3)
+    # hashed block scaling: user a/sqrt(M), movie 1/sqrt(M)
+    np.testing.assert_allclose(
+        np.sort(np.abs(np.asarray(pu[0, :n])))[-M:],
+        np.full(M, a / np.sqrt(M)), rtol=1e-6)
+    np.testing.assert_allclose(pu[:, n:], b1 * user_data, rtol=1e-6)
+
+    ratings = jnp.array([[0, 0], [3, 2]], jnp.int32)
+    full = cf_features_full(ratings, pu, pm)
+    assert full.shape == (2, (n + 2) * (n + 3))
+    expect = np.outer(np.asarray(pu[3]), np.asarray(pm[2])).ravel()
+    np.testing.assert_allclose(full[1], expect, rtol=1e-6)
