@@ -34,7 +34,7 @@ def main():
     from gpt_tpu.models import TensorGP, sample_core_indices
     from gpt_tpu.models.tensor_gp import TensorGPParams
 
-    num_chains = 64  # chains vmapped on the single chip
+    num_chains = 256  # chains vmapped on the single chip (see SCALING_chains.md)
     epochs_timed = 5
 
     split = load_power_plant()
@@ -83,7 +83,7 @@ def main():
     assert num_bad <= num_chains // 8, f"{num_bad}/{num_chains} chains diverged"
 
     print(json.dumps({
-        "metric": "tensor-GP SGLD chain-steps/s (PP n=100 r=10 Q=100 m=100, 64 chains, 1 chip)",
+        "metric": "tensor-GP SGLD chain-steps/s (PP n=100 r=10 Q=100 m=100, 256 chains, 1 chip)",
         "value": round(samples_per_sec, 1),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / REFERENCE_STEPS_PER_SEC, 1),

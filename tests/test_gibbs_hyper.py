@@ -152,3 +152,17 @@ def test_stochastic_em_gaussian_sanity(key):
     )
     assert h[0] < 1.0, h  # moved strongly toward 0.09 from 5.0
     assert int(rounds) > 0
+
+
+def test_columnwise_gibbs_recovers(synth):
+    """inf.R::GPT_infcol variant: n-dim column draws recover the signal too."""
+    y = synth.y[0.1]
+    params0 = init_gibbs_params(synth.model, jax.random.PRNGKey(2))
+    final, collected = run_gibbs(
+        synth.model, params0, jax.random.PRNGKey(3), synth.phi, y,
+        num_iterations=60, burnin=20, columnwise=True,
+    )
+    preds = jax.vmap(lambda p: synth.model.predict(p, synth.phi))(collected)
+    post = float(rmse(preds.mean(0), y))
+    prior = float(rmse(jnp.zeros_like(y), y))
+    assert post < 0.5 * prior, (post, prior)
