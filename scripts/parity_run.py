@@ -128,6 +128,69 @@ def synth():
         rejected=int(final.rejected), seconds=round(time.time() - t0, 1))
 
 
+def movielens5():
+    """The reference's headline metric: 5-fold mean of min test RMSE
+    (``100k_movielensExperiment.jl:729-739``). All folds share one compiled
+    program (identical shapes)."""
+    rmses = []
+    t0 = time.time()
+    for fold in range(1, 6):
+        f = load_movielens_100k(fold)
+        run = run_movielens(f, C.MOVIELENS_100K, jax.random.PRNGKey(17), maxepoch=200)
+        rmses.append(run.best_rmse)
+        print(f"  fold {fold}: best avg RMSE {run.best_rmse:.4f}", flush=True)
+    log("ml100k_5fold",
+        fold_rmses=[round(r, 4) for r in rmses],
+        mean_min_rmse=float(np.mean(rmses)),
+        seconds=round(time.time() - t0, 1),
+        reference_curve_min_fold1=0.9531)
+
+
+def ml_gibbs():
+    """BPMF-style CF Gibbs on fold 1 vs the BayesPMF artifact predictions
+    (``bayespmf_pred.h5``, consumed at ``100k_movielensExperiment.jl:1190``),
+    plus the RMSE-by-frequency breakdown."""
+    from gpt_tpu.diagnostics.cf_analysis import (
+        entity_frequencies, load_bayespmf_predictions, rmse_by_frequency)
+    from gpt_tpu.inference import run_cf_gibbs
+    from gpt_tpu.models.cf import CFBatch, CFModel, denormalize_and_cutoff
+
+    fold = load_movielens_100k(1)
+    P = C.MOVIELENS_100K
+    model = CFModel(n1=fold.num_users, n2=fold.num_movies, r=P.r,
+                    signal_var=P.signal_var, sigma_u=0.3)
+    params0 = model.init_params(jax.random.PRNGKey(5))
+    t0 = time.time()
+    final, collected = run_cf_gibbs(
+        model, params0, jax.random.PRNGKey(6),
+        jnp.asarray(fold.train, jnp.float32),
+        burnin=20, maxepoch=60,
+    )
+    test_batch = CFBatch(
+        users=jnp.asarray(fold.test[:, 0], jnp.int32),
+        movies=jnp.asarray(fold.test[:, 1], jnp.int32),
+    )
+    preds_z = jax.vmap(lambda p: model.predict(p, test_batch))(collected).mean(0)
+    preds = np.asarray(denormalize_and_cutoff(preds_z, fold.rating_mean, fold.rating_std))
+    y_raw = fold.test[:, 2] * fold.rating_std + fold.rating_mean
+    ours = float(np.sqrt(np.mean((preds - y_raw) ** 2)))
+
+    bp = load_bayespmf_predictions()
+    bp_rmse = float(np.sqrt(np.mean((np.clip(bp, 1, 5) - y_raw) ** 2)))
+
+    # cold-start comparison: RMSE for users with ≤5 train ratings
+    uf = entity_frequencies(fold.train[:, 0].astype(int), fold.num_users)
+    ours_f = rmse_by_frequency(fold.test[:, 0].astype(int), preds - y_raw, uf,
+                               bins=np.array([0, 6, 21, 51, 1000]))
+    bp_f = rmse_by_frequency(fold.test[:, 0].astype(int), np.clip(bp, 1, 5) - y_raw, uf,
+                             bins=np.array([0, 6, 21, 51, 1000]))
+    log("ml100k_gibbs_vs_bayespmf",
+        gibbs_rmse=ours, bayespmf_rmse=bp_rmse,
+        gibbs_rmse_by_userfreq=[round(float(v), 4) for v in ours_f.rmse],
+        bayespmf_rmse_by_userfreq=[round(float(v), 4) for v in bp_f.rmse],
+        seconds=round(time.time() - t0, 1))
+
+
 def gmc():
     """PP tensor GMC, L=30 — reference: test RMSE 4.1126 at 100 epochs in
     23633 s, 4.0598 at 500 epochs in 137614 s (DataRecords.txt:112-118)."""
@@ -221,6 +284,16 @@ def write_parity_md():
     if "ml100k_fullw_sideinfo" in r:
         m = r["ml100k_fullw_sideinfo"]
         lines.append(f"| ML-100k full-w side-info SGLD (200 ep) best avg RMSE | {m['best_avg_rmse']:.4f} | 0.9531 (curve min) | fullWresults.h5 |")
+    if "ml100k_5fold" in r:
+        m = r["ml100k_5fold"]
+        lines.append(
+            f"| ML-100k 5-fold mean of best avg RMSE | {m['mean_min_rmse']:.4f} | "
+            f"0.9531 (fold-1 curve min) | fullWresults.h5, :729-739 |")
+    if "ml100k_gibbs_vs_bayespmf" in r:
+        m = r["ml100k_gibbs_vs_bayespmf"]
+        lines.append(
+            f"| ML-100k CF Gibbs (fold 1) vs BayesPMF artifact | {m['gibbs_rmse']:.4f} | "
+            f"{m['bayespmf_rmse']:.4f} (BayesPMF) | bayespmf_pred.h5 |")
     if "pp_gmc_L30" in r:
         m = r["pp_gmc_L30"]
         lines.append(
@@ -238,9 +311,11 @@ def write_parity_md():
 
 
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["pp_notensor", "pp_tensor", "synth", "kin40k", "movielens", "gmc"]
+    which = sys.argv[1:] or ["pp_notensor", "pp_tensor", "synth", "kin40k",
+                             "movielens", "gmc", "movielens5", "ml_gibbs"]
     for name in which:
         {"pp_notensor": pp_notensor, "pp_tensor": pp_tensor, "kin40k": kin40k,
-         "movielens": movielens, "synth": synth, "gmc": gmc}[name]()
+         "movielens": movielens, "synth": synth, "gmc": gmc,
+         "movielens5": movielens5, "ml_gibbs": ml_gibbs}[name]()
     write_parity_md()
     print("PARITY.md written")

@@ -80,3 +80,20 @@ def test_rff_convergence_decreases(key):
     y = jax.random.normal(ky, (60,))
     study = rff_convergence_study(key, X, y, 1.0, 1.0, 0.1, ms=(50, 800), num_seeds=2)
     assert study[800][0] < study[50][0]
+
+
+def test_plots_smoke(tmp_path, key):
+    """Plot utilities render and save without a display."""
+    import numpy as np
+
+    from gpt_tpu.diagnostics.plots import learning_curves, surface2d, traceplot
+
+    f1 = traceplot(np.random.default_rng(0).normal(size=(2, 50, 3)),
+                   path=str(tmp_path / "t.png"))
+    f2 = learning_curves({"a": np.linspace(5, 4, 20)}, baseline=4.0,
+                         path=str(tmp_path / "c.png"))
+    f3 = surface2d(np.linspace(0, 1, 4), np.linspace(0, 1, 5),
+                   np.arange(20.0), path=str(tmp_path / "s.png"))
+    import os
+    for n in ["t.png", "c.png", "s.png"]:
+        assert os.path.getsize(tmp_path / n) > 1000
