@@ -175,19 +175,17 @@ def ml_gibbs():
     y_raw = fold.test[:, 2] * fold.rating_std + fold.rating_mean
     ours = float(np.sqrt(np.mean((preds - y_raw) ** 2)))
 
-    bp = load_bayespmf_predictions()
-    bp_rmse = float(np.sqrt(np.mean((np.clip(bp, 1, 5) - y_raw) ** 2)))
-
-    # cold-start comparison: RMSE for users with ≤5 train ratings
+    # NOTE: the bayespmf_pred.h5 artifact has ~0 correlation with u1.test in
+    # its stored order (its split/ordering is unrecorded), so a head-to-head
+    # RMSE against it is not meaningful; we report our Gibbs RMSE and the
+    # per-frequency breakdown (the reference's RMSEbyfreq analysis) alone.
     uf = entity_frequencies(fold.train[:, 0].astype(int), fold.num_users)
     ours_f = rmse_by_frequency(fold.test[:, 0].astype(int), preds - y_raw, uf,
                                bins=np.array([0, 6, 21, 51, 1000]))
-    bp_f = rmse_by_frequency(fold.test[:, 0].astype(int), np.clip(bp, 1, 5) - y_raw, uf,
-                             bins=np.array([0, 6, 21, 51, 1000]))
-    log("ml100k_gibbs_vs_bayespmf",
-        gibbs_rmse=ours, bayespmf_rmse=bp_rmse,
+    log("ml100k_gibbs",
+        gibbs_rmse=ours,
         gibbs_rmse_by_userfreq=[round(float(v), 4) for v in ours_f.rmse],
-        bayespmf_rmse_by_userfreq=[round(float(v), 4) for v in bp_f.rmse],
+        userfreq_bins="0-5, 6-20, 21-50, 51+",
         seconds=round(time.time() - t0, 1))
 
 
@@ -289,11 +287,11 @@ def write_parity_md():
         lines.append(
             f"| ML-100k 5-fold mean of best avg RMSE | {m['mean_min_rmse']:.4f} | "
             f"0.9531 (fold-1 curve min) | fullWresults.h5, :729-739 |")
-    if "ml100k_gibbs_vs_bayespmf" in r:
-        m = r["ml100k_gibbs_vs_bayespmf"]
+    if "ml100k_gibbs" in r:
+        m = r["ml100k_gibbs"]
         lines.append(
-            f"| ML-100k CF Gibbs (fold 1) vs BayesPMF artifact | {m['gibbs_rmse']:.4f} | "
-            f"{m['bayespmf_rmse']:.4f} (BayesPMF) | bayespmf_pred.h5 |")
+            f"| ML-100k BPMF-style CF Gibbs (fold 1, 60 sweeps, 16 s) | {m['gibbs_rmse']:.4f} | "
+            f"— (bayespmf_pred.h5 row order uncorrelated with u1.test; not comparable) | 100k_movielensExperiment.jl:944-1129 |")
     if "pp_gmc_L30" in r:
         m = r["pp_gmc_L30"]
         lines.append(
