@@ -30,7 +30,7 @@ def main():
     from gpt_tpu.data import load_power_plant
     from gpt_tpu.experiments.configs import POWER_PLANT_TENSOR_SMALL as PRESET
     from gpt_tpu.features import sample_tensor_rff, tensor_features, tensor_phi_scale
-    from gpt_tpu.inference import SGLDConfig, run_sgld_chains
+    from gpt_tpu.inference import SGLDConfig, run_sgld_chains_fused
     from gpt_tpu.models import TensorGP, sample_core_indices
     from gpt_tpu.models.tensor_gp import TensorGPParams
 
@@ -53,15 +53,17 @@ def main():
     num_batches = -(-N // PRESET.m)
 
     model = TensorGP(n=PRESET.n, r=PRESET.r, D=D, I=I, signal_var=PRESET.signal_var)
+    # polar transport (matmul-only retraction) + fused chain batching:
+    # measured 2.9x over the cayley+vmap path (scripts/fused_bench.py) — the
+    # cayley 2r x 2r batched LU solve alone cost ~6 ms/step on TPU v5e.
     config = SGLDConfig(
-        eps=TensorGPParams(w=PRESET.epsw, U=PRESET.epsU), transport="cayley"
+        eps=TensorGPParams(w=PRESET.epsw, U=PRESET.epsU), transport="polar"
     )
     params0 = jax.vmap(model.init_params)(jax.random.split(kp, num_chains))
-    keys = jax.random.split(ks, num_chains)
 
     def run(epochs):
-        finals, _ = run_sgld_chains(
-            model, params0, keys, phi, y,
+        finals, _ = run_sgld_chains_fused(
+            model, params0, ks, phi, y,
             m=PRESET.m, config=config, burnin=epochs, maxepoch=0,
             collect_fn=lambda p: (),
         )
@@ -76,10 +78,15 @@ def main():
 
     total_steps = num_chains * num_batches * epochs_timed
     samples_per_sec = total_steps / dt
-    # Individual chains may diverge and have steps rejected (the reference
-    # logs such runs as RMSE=NaN sweeps, DataRecords.txt:61); the bench
-    # requires the fleet itself to stay healthy.
-    num_bad = int((finals.rejected > 0).sum())
+    # Individual chains may diverge (the reference logs such runs as RMSE=NaN
+    # sweeps, DataRecords.txt:61); the bench requires the fleet itself to
+    # stay healthy: finite core weights and on-manifold factors per chain.
+    w_ok = jnp.all(jnp.isfinite(finals.params.w), axis=-1)
+    UtU = jnp.einsum("cdni,cdnj->cdij", finals.params.U, finals.params.U)
+    orth_err = jnp.max(
+        jnp.abs(UtU - jnp.eye(PRESET.r, dtype=UtU.dtype)), axis=(-3, -2, -1)
+    )
+    num_bad = int(jnp.sum(~w_ok | ~(orth_err < 1e-2)))
     assert num_bad <= num_chains // 8, f"{num_bad}/{num_chains} chains diverged"
 
     print(json.dumps({

@@ -8,6 +8,7 @@ from gpt_tpu.data.loaders import (
     load_segment,
     load_transfusion,
     load_movielens_100k,
+    load_mauna,
     standardize_split,
 )
 from gpt_tpu.data.synth import make_tensor_synth
@@ -22,6 +23,7 @@ __all__ = [
     "load_segment",
     "load_transfusion",
     "load_movielens_100k",
+    "load_mauna",
     "standardize_split",
     "make_tensor_synth",
 ]

@@ -268,3 +268,16 @@ def load_movielens_100k(fold: int = 1, root: str = REFERENCE_ROOT) -> MovieLensF
         num_users=943,
         num_movies=1682,
     )
+
+
+def load_mauna(root: str = REFERENCE_ROOT):
+    """Mauna Loa monthly CO2: (year_frac, ppm), missing values dropped.
+
+    Reference: ``mauna.txt`` consumed by the GPstuff composite-kernel study
+    ``scrap.m:7-9`` (``z = mauna(:,2) ~= -99.99``).
+    """
+    import numpy as np
+
+    data = np.loadtxt(os.path.join(root, "mauna.txt"))
+    keep = data[:, 1] != -99.99
+    return data[keep, 0], data[keep, 1]

@@ -69,6 +69,30 @@ def nystrom_gram(K: jnp.ndarray, idx: jnp.ndarray, jitter: float = 1e-8) -> jnp.
     return V.T @ V
 
 
+def fic_gram(K: jnp.ndarray, idx: jnp.ndarray, jitter: float = 1e-8) -> jnp.ndarray:
+    """FIC: Nyström plus exact-diagonal correction
+    (``powerplant_hyperparams.m``'s FIC row)."""
+    Q = nystrom_gram(K, idx, jitter)
+    return Q + jnp.diag(jnp.diagonal(K) - jnp.diagonal(Q))
+
+
+def block_diag_extract(K: jnp.ndarray, block_size: int) -> jnp.ndarray:
+    """Zero everything outside contiguous diagonal blocks — the reference's
+    ``blockdiag.m:1-8`` helper, as one masked elementwise op."""
+    N = K.shape[0]
+    blk = jnp.arange(N) // block_size
+    mask = (blk[:, None] == blk[None, :]).astype(K.dtype)
+    return K * mask
+
+
+def pic_gram(K: jnp.ndarray, idx: jnp.ndarray, block_size: int,
+             jitter: float = 1e-8) -> jnp.ndarray:
+    """PIC: Nyström corrected with the exact residual on diagonal blocks
+    (``powerplant_hyperparams.m``'s PIC row, built on ``blockdiag.m``)."""
+    Q = nystrom_gram(K, idx, jitter)
+    return Q + block_diag_extract(K - Q, block_size)
+
+
 def rff_convergence_study(
     key: jax.Array,
     X: jnp.ndarray,

@@ -3,11 +3,13 @@ from gpt_tpu.inference.sgld import (
     make_sgld_step,
     run_sgld,
     run_sgld_chains,
+    run_sgld_chains_fused,
 )
 from gpt_tpu.inference.gmc import GMCConfig, run_gmc
 from gpt_tpu.inference.gibbs import GibbsConfig, gibbs_sweep, run_gibbs, init_gibbs_params
 from gpt_tpu.inference.cf_gibbs import CFGibbsConfig, cf_gibbs_sweep, run_cf_gibbs
 from gpt_tpu.inference.cf_sgld import run_cf_sgld_thresh, inclusion_probabilities
+from gpt_tpu.inference.ep import EPPosterior, EPState, fit_ep, predict_ep
 from gpt_tpu.inference.vi import VIConfig, VIState, init_vi, run_vi, vi_step
 from gpt_tpu.inference.hmc import HMCConfig, run_adaptive_hmc
 from gpt_tpu.inference.parafac import parafac_posterior_mean, parafac_predict
@@ -49,6 +51,11 @@ __all__ = [
     "make_sgld_step",
     "run_sgld",
     "run_sgld_chains",
+    "run_sgld_chains_fused",
+    "fit_ep",
+    "predict_ep",
+    "EPPosterior",
+    "EPState",
     "GMCConfig",
     "run_gmc",
 ]

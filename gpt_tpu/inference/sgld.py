@@ -51,7 +51,7 @@ class SGLDConfig:
 
     eps: Any
     langevin: bool = True
-    transport: str = "geodesic"  # "geodesic" | "cayley" | "euclidean"
+    transport: str = "geodesic"  # "geodesic" | "cayley" | "polar"
     decay: float = 0.0
     rmsprop: bool = False
     rmsprop_alpha: float = 0.99
@@ -159,18 +159,23 @@ def make_sgld_step(
                     else jnp.zeros_like(p)
                 )
                 mom = stiefel.project_tangent(p, sqe_b * g / 2 + noise)
-                if config.transport == "cayley":
-                    newU = stiefel.cayley_retract(p, mom, sqe)
+                if config.transport == "polar":
+                    # polar retraction IS its own Newton–Schulz projection —
+                    # matmuls only, no 2r×2r solve (see stiefel.polar_retract)
+                    newU = stiefel.polar_retract(p, mom, sqe)
                 else:
-                    newU = stiefel.geodesic(p, mom, sqe)
-                # Newton–Schulz polar correction wipes per-step float drift
-                # (the reference only re-normalises columns, allowing
-                # cross-column drift to accumulate), then reject steps that
-                # are still far off-manifold — that only happens when the
-                # gradient blew up (observed ‖UᵀU−I‖ ≈ 3e2 on diverged
-                # chains). The reference's only guard is the NaN abort
-                # (GPT_SGLD.jl:23-26).
-                newU = stiefel.orthonormalize(newU)
+                    if config.transport == "cayley":
+                        newU = stiefel.cayley_retract(p, mom, sqe)
+                    else:
+                        newU = stiefel.geodesic(p, mom, sqe)
+                    # Newton–Schulz polar correction wipes per-step float
+                    # drift (the reference only re-normalises columns,
+                    # allowing cross-column drift to accumulate).
+                    newU = stiefel.orthonormalize(newU)
+                # Reject steps still far off-manifold after correction —
+                # that only happens when the gradient blew up (observed
+                # ‖UᵀU−I‖ ≈ 3e2 on diverged chains). The reference's only
+                # guard is the NaN abort (GPT_SGLD.jl:23-26).
                 r_dim = newU.shape[-1]
                 UtU = jnp.einsum(
                     "...ni,...nj->...ij", newU, newU,
@@ -290,7 +295,10 @@ def run_sgld(
             phi_b = jax.tree.map(lambda a: a[idx], phi_pad)
             ll = model.log_lik(p, phi_b, y_pad[idx], weight=wts)
             scale = N / jnp.maximum(jnp.sum(wts), 1.0)
-            return scale * ll + model.log_prior(p)
+            # Sum over any leading chain axes: per-chain log-joints share no
+            # parameters, so the gradient of the sum is the per-chain
+            # gradient stack (enables chain-batched fused kernels).
+            return jnp.sum(scale * ll + model.log_prior(p))
 
         return jax.grad(logp)(params)
 
@@ -345,3 +353,48 @@ def run_sgld_chains(
         collect_fn=collect_fn,
     )
     return jax.jit(jax.vmap(lambda p, k: run(p, k)))(params0_chains, keys)
+
+
+def run_sgld_chains_fused(
+    model,
+    params0_chains,
+    key: jax.Array,
+    phi: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    m: int,
+    config: SGLDConfig,
+    burnin: int,
+    maxepoch: int,
+    collect_fn: Callable | None = None,
+):
+    """Chain-batched (non-vmapped) SGLD: all chains advance through ONE
+    transition kernel whose operands carry a leading chain axis.
+
+    Semantics vs :func:`run_sgld_chains`: chains share the per-epoch data
+    permutation (one minibatch sequence drives the whole fleet) but keep
+    independent parameters and independent injected noise (noise is drawn
+    with the full chain-stacked shape). Each chain still targets the exact
+    posterior; only the *stochastic-gradient* randomness is common across
+    chains — the same situation as the reference running its seed sweep on a
+    fixed pre-shuffled dataset.
+
+    Why it exists: with the chain axis explicit (not a vmap dim), the model
+    can route prediction through the chain-batched fused Pallas kernel
+    (``TensorGP(contraction="pallas")``), keeping the whole
+    φ→V→fhat→backward chain in VMEM per chain.
+    """
+    if collect_fn is None:
+        collect_fn = lambda p: p
+
+    @jax.jit
+    def _run(p, k):
+        final, collected = run_sgld(
+            model, p, k, phi, y, m=m, config=config,
+            burnin=burnin, maxepoch=maxepoch, collect_fn=collect_fn,
+        )
+        # (epoch, chain, ...) → (chain, epoch, ...) to match run_sgld_chains.
+        collected = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), collected)
+        return final, collected
+
+    return _run(params0_chains, key)

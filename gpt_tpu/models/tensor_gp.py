@@ -135,11 +135,19 @@ class TensorGP:
                 C *= s
             w = params.w.reshape(C, self.Q)
             U = params.U.reshape(C, self.D, self.n, self.r)
+            # φ is never a differentiation target in the samplers, so the
+            # fused backward skips the (C, m, D, n) φ̄ tensor entirely.
             out = fused_tensor_predict(
                 w, U, self.I, phi,
                 interpret=_jax.default_backend() != "tpu",
+                diff_phi=False,
             )
             return out.reshape(*lead, phi.shape[0])
+        if self.contraction == "dense":
+            from gpt_tpu.ops.contraction import dense_core_predict
+
+            return dense_core_predict(params.w, params.U, self.I, phi,
+                                      precision=self.precision)
         return tensor_predict(params.w, params.U, self.I, phi,
                               mode=self.contraction, precision=self.precision)
 

@@ -66,6 +66,23 @@ def core_products(temp: jnp.ndarray, I: jnp.ndarray, *, mode: str = "gather",
     raise ValueError(f"unknown mode {mode!r}")
 
 
+def dense_core_predict(w: jnp.ndarray, U: jnp.ndarray, I: jnp.ndarray,
+                       phi: jnp.ndarray, *, precision=None) -> jnp.ndarray:
+    """Full chain with the one-hot folded into U first:
+    ``Û_d = U_d E_dᵀ`` (n×Q), ``g_d = φ_d Û_d``, ``V = Π_d g_d``, ``fhat = V w``.
+
+    More FLOPs than ``phidot``+``onehot`` (the inner dimension becomes n
+    instead of r for the second matmul) but every GEMM has an MXU-friendly
+    contraction dim (n ≈ 100-150, not r ≈ 10-20) — faster in practice on TPU
+    for the bench shapes. Identical math; gradients via ``jax.grad``.
+    """
+    onehot = core_indicator(I, U.shape[-1], dtype=U.dtype)  # (Q, D, r)
+    Uhat = jnp.einsum("...dnr,qdr->...dnq", U, onehot, precision=precision)
+    g = jnp.einsum("idn,...dnq->...idq", phi, Uhat, precision=precision)
+    V = jnp.prod(g, axis=-2)
+    return jnp.einsum("...iq,...q->...i", V, w, precision=precision)
+
+
 def tensor_predict(w: jnp.ndarray, U: jnp.ndarray, I: jnp.ndarray,
                    phi: jnp.ndarray, *, mode: str = "gather",
                    precision=None) -> jnp.ndarray:

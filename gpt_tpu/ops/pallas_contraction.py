@@ -99,6 +99,45 @@ def _backward_kernel(D: int, phi_ref, onehot_ref, w_ref, U_ref, gbar_ref,
         )
 
 
+def _backward_kernel_nophi(D: int, phi_ref, onehot_ref, w_ref, U_ref, gbar_ref,
+                           wbar_ref, Ubar_ref):
+    """Backward pass treating φ as a constant (the SGLD/GMC case): skips the
+    φ̄ (1, m, D, n) output — the largest backward tensor — entirely."""
+    m = phi_ref.shape[0]
+    Q = onehot_ref.shape[0]
+    gs = []
+    for d in range(D):
+        temp_d = jnp.dot(
+            phi_ref[:, d, :], U_ref[0, d], preferred_element_type=jnp.float32
+        )
+        gs.append(
+            jnp.dot(temp_d, onehot_ref[:, d, :].T, preferred_element_type=jnp.float32)
+        )
+    prefix = [jnp.ones((m, Q), jnp.float32)]
+    for d in range(D - 1):
+        prefix.append(prefix[-1] * gs[d])
+    suffix = [jnp.ones((m, Q), jnp.float32)]
+    for d in range(D - 1, 0, -1):
+        suffix.append(suffix[-1] * gs[d])
+    suffix = suffix[::-1]
+
+    V = prefix[-1] * gs[D - 1]
+    gbar = gbar_ref[0, 0, :]
+    wbar_ref[0, 0, :] = jnp.dot(
+        V.T, gbar[:, None], preferred_element_type=jnp.float32
+    )[:, 0]
+    Vbar = gbar[:, None] * w_ref[0, 0, :][None, :]
+    for d in range(D):
+        loo = prefix[d] * suffix[d]
+        gd_bar = Vbar * loo
+        tempd_bar = jnp.dot(
+            gd_bar, onehot_ref[:, d, :], preferred_element_type=jnp.float32
+        )
+        Ubar_ref[0, d] = jnp.dot(
+            phi_ref[:, d, :].T, tempd_bar, preferred_element_type=jnp.float32
+        )
+
+
 def _run_forward(w, U, phi, onehot, interpret):
     # Mosaic requires the last two block dims be (8,128)-divisible or equal
     # to the array dims; the chain axis is blocked at 1, so it must sit ahead
@@ -152,12 +191,49 @@ def _run_backward(w, U, phi, onehot, gbar, interpret):
     return wbar.reshape(C, Q), Ubar, phibar
 
 
+def _run_backward_nophi(w, U, phi, onehot, gbar, interpret):
+    C, Q = w.shape
+    m, D, n = phi.shape
+    r = U.shape[-1]
+    wbar, Ubar = pl.pallas_call(
+        functools.partial(_backward_kernel_nophi, D),
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((m, D, n), lambda c: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, D, r), lambda c: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Q), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, n, r), lambda c: (c, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, Q), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, n, r), lambda c: (c, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, 1, Q), jnp.float32),
+            jax.ShapeDtypeStruct((C, D, n, r), jnp.float32),
+        ],
+        interpret=interpret,
+    )(phi, onehot, w.reshape(C, 1, Q), U, gbar.reshape(C, 1, m))
+    return wbar.reshape(C, Q), Ubar
+
+
 def fused_tensor_predict(w: jnp.ndarray, U: jnp.ndarray, I: jnp.ndarray,
-                         phi: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
+                         phi: jnp.ndarray, *, interpret: bool = False,
+                         diff_phi: bool = True) -> jnp.ndarray:
     """Chain-batched fused prediction: w (C, Q), U (C, D, n, r), phi (m, D, n)
-    → fhat (C, m). Differentiable in (w, U, phi) via the hand-derived VJP."""
+    → fhat (C, m). Differentiable in (w, U, phi) via the hand-derived VJP.
+
+    ``diff_phi=False`` declares φ a constant of differentiation: the backward
+    kernel skips the (C, m, D, n) φ̄ computation and its cross-chain reduction
+    — the dominant backward cost — and the VJP returns a zero φ cotangent.
+    Only valid when the caller never differentiates with respect to φ (true
+    for every sampler: SGLD/GMC/HMC differentiate parameters only).
+    """
     onehot = core_indicator(I, U.shape[-1], dtype=jnp.float32)
-    return _fused_impl(w, U, phi, onehot, interpret)
+    if diff_phi:
+        return _fused_impl(w, U, phi, onehot, interpret)
+    return _fused_impl_nophi(w, U, phi, onehot, interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -178,3 +254,21 @@ def _fused_bwd(interpret, res, gbar):
 
 
 _fused_impl.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_impl_nophi(w, U, phi, onehot, interpret):
+    return _run_forward(w, U, phi, onehot, interpret)
+
+
+def _fused_fwd_nophi(w, U, phi, onehot, interpret):
+    return _run_forward(w, U, phi, onehot, interpret), (w, U, phi, onehot)
+
+
+def _fused_bwd_nophi(interpret, res, gbar):
+    w, U, phi, onehot = res
+    wbar, Ubar = _run_backward_nophi(w, U, phi, onehot, gbar, interpret)
+    return wbar, Ubar, jnp.zeros_like(phi), jnp.zeros_like(onehot)
+
+
+_fused_impl_nophi.defvjp(_fused_fwd_nophi, _fused_bwd_nophi)

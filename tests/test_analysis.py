@@ -74,6 +74,36 @@ def test_svd_beats_rff_beats_nothing(key):
     assert float(r_svd.frobenius_rel) < float(r_rff.frobenius_rel)
 
 
+def test_fic_pic_improve_on_nystrom(key):
+    """FIC fixes the diagonal, PIC additionally fixes diagonal blocks —
+    monotone error improvement over plain Nyström (the
+    ``powerplant_hyperparams.m`` FIC/PIC rows, ``blockdiag.m`` helper)."""
+    from gpt_tpu.diagnostics.kernel_approx import (
+        block_diag_extract, fic_gram, pic_gram,
+    )
+
+    kx, ky = jax.random.split(key)
+    X = jax.random.normal(kx, (80, 3))
+    y = jax.random.normal(ky, (80,))
+    K = se_ard_kernel(X, X, 1.0, 1.0)
+    idx = jnp.arange(16)
+    r_nys = compare_gram(K, nystrom_gram(K, idx), y, 0.1)
+    r_fic = compare_gram(K, fic_gram(K, idx), y, 0.1)
+    r_pic = compare_gram(K, pic_gram(K, idx, block_size=10), y, 0.1)
+    assert float(r_fic.frobenius_rel) < float(r_nys.frobenius_rel)
+    assert float(r_pic.frobenius_rel) < float(r_fic.frobenius_rel)
+    # FIC diagonal is exact; PIC blocks are exact
+    import numpy as np
+    np.testing.assert_allclose(
+        np.diagonal(fic_gram(K, idx)), np.diagonal(K), rtol=1e-6
+    )
+    blk = block_diag_extract(K, 10)
+    np.testing.assert_allclose(
+        np.asarray(block_diag_extract(pic_gram(K, idx, 10), 10)),
+        np.asarray(blk), rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_rff_convergence_decreases(key):
     kx, ky = jax.random.split(key)
     X = jax.random.normal(kx, (60, 2))

@@ -68,6 +68,26 @@ def test_core_products_gather_vs_onehot(key):
     np.testing.assert_allclose(Vg, Vo, rtol=2e-4)
 
 
+def test_dense_core_predict_matches_tensor_predict(key):
+    """The one-hot-folded "dense" chain (MXU-friendly contraction dims) is
+    the same math as phidot+onehot, with and without chain axes."""
+    from gpt_tpu.ops.contraction import dense_core_predict
+
+    model, params, phi, _ = _setup(key)
+    ref = tensor_predict(params.w, params.U, model.I, phi)
+    out = dense_core_predict(params.w, params.U, model.I, phi)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-6)
+
+    w = jnp.stack([params.w, 2 * params.w])
+    U = jnp.stack([params.U, params.U])
+    outc = dense_core_predict(w, U, model.I, phi)
+    np.testing.assert_allclose(outc[0], ref, rtol=2e-4, atol=1e-6)
+
+    g1 = jax.grad(lambda u: jnp.sum(dense_core_predict(params.w, u, model.I, phi) ** 2))(params.U)
+    g2 = jax.grad(lambda u: jnp.sum(tensor_predict(params.w, u, model.I, phi) ** 2))(params.U)
+    np.testing.assert_allclose(g1, g2, rtol=5e-4, atol=1e-5)
+
+
 def test_tensor_predict_batched_params(key):
     """Leading chain axes on (w, U) broadcast through the whole chain."""
     model, params, phi, _ = _setup(key)

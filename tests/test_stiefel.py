@@ -94,6 +94,34 @@ def test_cayley_first_order_matches_geodesic(key):
     assert jnp.max(jnp.abs(g - c)) < 5 * t**2 * jnp.max(jnp.abs(mom)) ** 2 + 1e-5
 
 
+def test_polar_stays_on_manifold(key):
+    U, mom = _rand_point_tangent(key)
+    U1 = stiefel.polar_retract(U, mom, 0.1)
+    np.testing.assert_allclose(U1.T @ U1, np.eye(4), atol=1e-5)
+
+
+def test_polar_first_order_matches_geodesic(key):
+    """Polar and geodesic retractions agree to O(t²)."""
+    U, mom = _rand_point_tangent(key)
+    t = 1e-3
+    g = stiefel.geodesic(U, mom, t)
+    p = stiefel.polar_retract(U, mom, t)
+    assert jnp.max(jnp.abs(g - p)) < 5 * t**2 * jnp.max(jnp.abs(mom)) ** 2 + 1e-5
+
+
+def test_polar_batched_and_jittable(key):
+    U = stiefel.sample_stiefel(key, 12, 4, batch=(3, 2))
+    mom = stiefel.project_tangent(
+        U, jax.random.normal(jax.random.fold_in(key, 1), U.shape, U.dtype)
+    )
+    t = jnp.full((3, 2), 1e-2)
+    out = jax.jit(stiefel.polar_retract)(U, mom, t)
+    UtU = jnp.einsum("...ni,...nj->...ij", out, out)
+    np.testing.assert_allclose(
+        np.asarray(UtU), np.broadcast_to(np.eye(4), UtU.shape), atol=1e-6
+    )
+
+
 def test_guard_rejects_nan(key):
     U, _ = _rand_point_tangent(key)
     bad = U.at[0, 0].set(jnp.nan)
