@@ -27,15 +27,20 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     import jax.numpy as jnp
 
+    from functools import partial
+
     from gpt_tpu.data import load_power_plant
     from gpt_tpu.experiments.configs import POWER_PLANT_TENSOR_SMALL as PRESET
     from gpt_tpu.features import sample_tensor_rff, tensor_features, tensor_phi_scale
-    from gpt_tpu.inference import SGLDConfig, run_sgld_chains_fused
+    from gpt_tpu.inference import SGLDConfig, run_sgld
     from gpt_tpu.models import TensorGP, sample_core_indices
     from gpt_tpu.models.tensor_gp import TensorGPParams
 
-    num_chains = 256  # chains vmapped on the single chip (see SCALING_chains.md)
-    epochs_timed = 5
+    # 256 fused chains is the single-chip throughput peak: the whole fleet's
+    # params + step state stay VMEM-resident; ≥384 chains fall off a
+    # residency cliff (SCALING_chains.md has the full curve).
+    num_chains = 256
+    epochs_timed = 25
 
     split = load_power_plant()
     key = jax.random.PRNGKey(17)
@@ -61,18 +66,19 @@ def main():
     )
     params0 = jax.vmap(model.init_params)(jax.random.split(kp, num_chains))
 
-    def run(epochs):
-        finals, _ = run_sgld_chains_fused(
-            model, params0, ks, phi, y,
-            m=PRESET.m, config=config, burnin=epochs, maxepoch=0,
-            collect_fn=lambda p: (),
-        )
-        return finals
+    # jit constructed ONCE and reused — the steady-state regime of any real
+    # sampling loop. (Re-wrapping per call would re-trace the whole scan
+    # program each invocation and bill ~1-2 s of host tracing to the chip.)
+    run = jax.jit(partial(
+        run_sgld, model, phi=phi, y=y,
+        m=PRESET.m, config=config, burnin=epochs_timed, maxepoch=0,
+        collect_fn=lambda p: (),
+    ))
 
     # Warmup/compile with the same trace shape as the timed run.
-    jax.block_until_ready(run(epochs_timed).params.w)
+    jax.block_until_ready(run(params0, ks)[0].params.w)
     t0 = time.perf_counter()
-    finals = run(epochs_timed)
+    finals, _ = run(params0, ks)
     jax.block_until_ready(finals.params.w)
     dt = time.perf_counter() - t0
 

@@ -11,7 +11,7 @@ from gpt_tpu.data.loaders import (
     load_mauna,
     standardize_split,
 )
-from gpt_tpu.data.synth import make_tensor_synth
+from gpt_tpu.data.synth import make_synthetic_ml1m, make_tensor_synth
 
 __all__ = [
     "REFERENCE_ROOT",
@@ -26,4 +26,5 @@ __all__ = [
     "load_mauna",
     "standardize_split",
     "make_tensor_synth",
+    "make_synthetic_ml1m",
 ]

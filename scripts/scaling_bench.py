@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from gpt_tpu.data import load_power_plant
 from gpt_tpu.experiments.configs import POWER_PLANT_TENSOR_SMALL as PRESET
 from gpt_tpu.features import sample_tensor_rff, tensor_features, tensor_phi_scale
-from gpt_tpu.inference import SGLDConfig, run_sgld_chains
+from gpt_tpu.inference import SGLDConfig, run_sgld_chains_fused
 from gpt_tpu.models import TensorGP, sample_core_indices
 from gpt_tpu.models.tensor_gp import TensorGPParams
 from gpt_tpu.utils.records import append_record
@@ -64,15 +64,15 @@ def setup():
     return model, phi, y
 
 
-def chains_per_device_study(model, phi, y, counts, epochs=3):
-    cfg = SGLDConfig(eps=TensorGPParams(w=PRESET.epsw, U=PRESET.epsU), transport="cayley")
+def chains_per_device_study(model, phi, y, counts, epochs=5):
+    cfg = SGLDConfig(eps=TensorGPParams(w=PRESET.epsw, U=PRESET.epsU), transport="polar")
     B = -(-y.shape[0] // PRESET.m)
     out = {}
     for Cn in counts:
         params0 = jax.vmap(model.init_params)(
             jax.random.split(jax.random.PRNGKey(1), Cn))
-        keys = jax.random.split(jax.random.PRNGKey(2), Cn)
-        run = lambda: run_sgld_chains(
+        keys = jax.random.PRNGKey(2)
+        run = lambda: run_sgld_chains_fused(
             model, params0, keys, phi, y, m=PRESET.m, config=cfg,
             burnin=epochs, maxepoch=0, collect_fn=lambda p: ())
         jax.block_until_ready(run()[0].params.w)
@@ -92,7 +92,7 @@ def device_study(model, phi, y, epochs=3):
     from gpt_tpu.parallel import make_mesh
     from gpt_tpu.parallel.chains import run_sharded_chains
 
-    cfg = SC(eps=TensorGPParams(w=PRESET.epsw, U=PRESET.epsU), transport="cayley")
+    cfg = SC(eps=TensorGPParams(w=PRESET.epsw, U=PRESET.epsU), transport="polar")
     B = -(-y.shape[0] // PRESET.m)
     chains_per_dev = 4
     out = {}
@@ -129,7 +129,7 @@ def main():
             eff = sps / (base * nd) if base else float("nan")
             lines.append(f"| {nd} | {sps:.0f} | {100*eff:.0f}% |")
     else:
-        cs = chains_per_device_study(model, phi, y, [1, 8, 64, 256])
+        cs = chains_per_device_study(model, phi, y, [1, 64, 256, 1024, 4096, 8192])
         base = cs.get(1)
         lines += [f"## Chains on one {jax.devices()[0].device_kind}", "",
                   "| chains | samples/s | vs 1-chain × C |", "|---|---|---|"]

@@ -1,0 +1,209 @@
+"""Speed-of-light report (BASELINE.json targets) → SPEEDLIGHT.md.
+
+Three measurements on one chip:
+
+1. headline tensor-GP SGLD (fused chains, polar transport) — chain-steps/s
+   and achieved FLOP/s from XLA's own cost model;
+2. GMC log-prob + leapfrog throughput on the PP parity config (full-batch,
+   HIGHEST precision) — leapfrogs/s vs the reference's ~10 s per L=1 epoch
+   (``DataRecords.txt:41``);
+3. MovieLens-100k full-w side-info SGLD — chain-steps/s (the ≥50×
+   samples/s target workload).
+
+Achieved FLOP/s uses ``compiled.cost_analysis()['flops']`` (the XLA HLO cost
+model) divided by measured wall time; peaks quoted for TPU v5e: ~197 TFLOP/s
+bf16, ~49 TFLOP/s f32. These tiny-operand samplers are latency/bandwidth
+bound per chain — the % -of-peak figures quantify exactly why chain batching
+(not single-chain latency) is the scaling play.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import partial
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/gpt_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+import dataclasses
+
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gpt_tpu.data import load_movielens_100k, load_power_plant
+from gpt_tpu.experiments import configs as CFG
+from gpt_tpu.experiments.movielens import build_cf_model
+from gpt_tpu.features import sample_tensor_rff, tensor_features, tensor_phi_scale
+from gpt_tpu.inference import GMCConfig, SGLDConfig, run_gmc, run_sgld
+from gpt_tpu.inference.sgld import run_sgld_chains
+from gpt_tpu.models import TensorGP, sample_core_indices
+from gpt_tpu.models.cf import CFParams, ratings_batch
+from gpt_tpu.models.tensor_gp import TensorGPParams
+from gpt_tpu.utils.records import append_record
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RECORDS = os.path.join(ROOT, "RECORDS.jsonl")
+PEAK_BF16 = 197e12
+PEAK_F32 = 49e12
+
+
+def _flops(jitted, *args):
+    try:
+        comp = jitted.lower(*args).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", float("nan")))
+    except Exception:
+        return float("nan")
+
+
+def _time(fn, *args, reps=2):
+    out = fn(*args)
+    jax.block_until_ready(jax.tree.leaves(out)[0])
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(jax.tree.leaves(out)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def headline_sgld(C=256, epochs=25):
+    split = load_power_plant()
+    P = CFG.POWER_PLANT_TENSOR_SMALL
+    key = jax.random.PRNGKey(17)
+    kI, kf, kp, ks = jax.random.split(key, 4)
+    D = split.X_train.shape[1]
+    I = sample_core_indices(kI, P.r, D, P.Q)
+    phi = tensor_features(
+        jnp.asarray(split.X_train, jnp.float32), sample_tensor_rff(kf, P.n, D),
+        P.length_scale, P.sigma_RBF, tensor_phi_scale(P.n, P.Q, D),
+    )
+    y = jnp.asarray(split.y_train, jnp.float32)
+    B = -(-y.shape[0] // P.m)
+    model = TensorGP(n=P.n, r=P.r, D=D, I=I, signal_var=P.signal_var)
+    cfg = SGLDConfig(eps=TensorGPParams(w=P.epsw, U=P.epsU), transport="polar")
+    params0 = jax.vmap(model.init_params)(jax.random.split(kp, C))
+
+    jitted = jax.jit(partial(
+        run_sgld, model, phi=phi, y=y, m=P.m, config=cfg,
+        burnin=epochs, maxepoch=0, collect_fn=lambda p: (),
+    ))
+    dt = _time(jitted, params0, ks)
+    steps = C * B * epochs
+    fl = _flops(jitted, params0, ks)
+    return {
+        "workload": f"tensor-GP SGLD (PP n=100 r=10 Q=100 m=100, {C} fused chains, polar)",
+        "steps_per_s": steps / dt,
+        "seconds": dt,
+        "flops_total": fl,
+        "achieved_tflops": fl / dt / 1e12,
+        "pct_f32_peak": 100 * fl / dt / PEAK_F32,
+        "pct_bf16_peak": 100 * fl / dt / PEAK_BF16,
+    }
+
+
+def gmc_leapfrog(C=16, epochs=5, L=30):
+    split = load_power_plant()
+    P = CFG.POWER_PLANT_TENSOR
+    key = jax.random.PRNGKey(17)
+    kI, kf, kp, ks = jax.random.split(key, 4)
+    D = split.X_train.shape[1]
+    I = sample_core_indices(kI, P.r, D, P.Q)
+    phi = tensor_features(
+        jnp.asarray(split.X_train, jnp.float32), sample_tensor_rff(kf, P.n, D),
+        P.length_scale, P.sigma_RBF, tensor_phi_scale(P.n, P.Q, D),
+    )
+    y = jnp.asarray(split.y_train, jnp.float32)
+    model = TensorGP(n=P.n, r=P.r, D=D, I=I, signal_var=P.signal_var,
+                     precision="highest")
+    cfg = GMCConfig(eps=TensorGPParams(w=1e-4, U=1e-7), num_leapfrog=L)
+    params0 = jax.vmap(model.init_params)(jax.random.split(kp, C))
+    keys = jax.random.split(ks, C)
+
+    jitted = jax.jit(jax.vmap(partial(
+        run_gmc, model, phi=phi, y=y, config=cfg,
+        burnin=epochs, maxepoch=0, collect_fn=lambda p: (),
+    )))
+    dt = _time(jitted, params0, keys)
+    leapfrogs = C * epochs * L
+    fl = _flops(jitted, params0, keys)
+    return {
+        "workload": f"GMC leapfrog (PP n=150 r=20 Q=200, full batch N=5000, {C} chains, L={L})",
+        "leapfrogs_per_s": leapfrogs / dt,
+        "seconds": dt,
+        "flops_total": fl,
+        "achieved_tflops": fl / dt / 1e12,
+        "pct_f32_peak": 100 * fl / dt / PEAK_F32,
+        "pct_bf16_peak": 100 * fl / dt / PEAK_BF16,
+        "reference_leapfrogs_per_s": 0.1,  # ~10 s per L=1 epoch, DataRecords.txt:41
+    }
+
+
+def ml100k_sgld(C=64, epochs=5):
+    fold = load_movielens_100k(1)
+    preset = CFG.MOVIELENS_100K
+    model = build_cf_model(fold, preset)
+    key = jax.random.PRNGKey(17)
+    kp, ks = jax.random.split(key)
+    params0 = jax.vmap(lambda k: model.init_params(k))(jax.random.split(kp, C))
+    keys = jax.random.split(ks, C)
+    train_batch, y_train = ratings_batch(jnp.asarray(fold.train, jnp.float32))
+    cfg = SGLDConfig(eps=CFParams(U=preset.epsU, V=preset.epsU, w=preset.epsw))
+    B = -(-y_train.shape[0] // preset.m)
+
+    def run(p, k):
+        final, _ = run_sgld_chains(
+            model, p, k, train_batch, y_train, m=preset.m, config=cfg,
+            burnin=epochs, maxepoch=0, collect_fn=lambda q: (),
+        )
+        return final
+
+    dt = _time(run, params0, keys)
+    steps = C * B * epochs
+    return {
+        "workload": f"ML-100k full-w side-info SGLD (80k ratings, m=100, {C} chains)",
+        "steps_per_s": steps / dt,
+        "seconds": dt,
+        "reference_steps_per_s_proxy": 16.7,  # PP-epoch-derived CPU rate
+    }
+
+
+def main():
+    lines = [
+        "# SPEEDLIGHT — per-chip throughput vs hardware peak",
+        "",
+        f"Chip: {jax.devices()[0].device_kind}; peaks assumed 197 TF bf16 / 49 TF f32.",
+        "FLOP counts from XLA's HLO cost model (`compiled.cost_analysis()`).",
+        "",
+    ]
+    for fn in (headline_sgld, gmc_leapfrog, ml100k_sgld):
+        rep = fn()
+        append_record(RECORDS, "speedlight", rep)
+        lines.append(f"## {rep.pop('workload')}")
+        lines.append("")
+        for k, v in rep.items():
+            lines.append(f"- {k}: {v:,.3f}" if isinstance(v, float) else f"- {k}: {v}")
+        lines.append("")
+        print(lines[-3], flush=True)
+    lines += [
+        "Interpretation: per-chain operands are tiny (m ≤ 100, n ≤ 150, r ≤ 20),",
+        "so a single chain is latency-bound far below peak; throughput scales by",
+        "batching chains until the MXU is fed (the headline fused-chain runs).",
+        "The GMC full-batch gradient is the closest to compute-bound and runs at",
+        "HIGHEST precision (6-pass f32 emulation) by MH necessity.",
+        "",
+    ]
+    with open(os.path.join(ROOT, "SPEEDLIGHT.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("wrote SPEEDLIGHT.md")
+
+
+if __name__ == "__main__":
+    main()
