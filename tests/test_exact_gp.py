@@ -110,3 +110,27 @@ def test_mean_function(data):
     far = jnp.array([[50.0, 50.0]])  # far from data → revert to mean
     mu, _ = gp.predict(post, far)
     np.testing.assert_allclose(mu, [2.0], atol=1e-3)
+
+
+def test_pp_full_nlml_matches_reference_log():
+    """Exact-GP ARD NLML on the FULL whitened Power Plant dataset at the
+    reference's GPstuff-tuned hyperparameters equals the logged value
+    -2239.2172 (``DataRecords.txt:837-840``) — a cross-implementation
+    end-to-end check of kernel, whitening, and NLML in one number."""
+    import os
+
+    import jax.numpy as jnp
+
+    from gpt_tpu.data.loaders import REFERENCE_ROOT, _load_dense
+    from gpt_tpu.inference.hyper import gp_nlml
+    from gpt_tpu.utils.math import whiten
+
+    data = _load_dense(
+        os.path.join(REFERENCE_ROOT, "Folds5x2_pp.csv"), 5, sep=",", skip_header=1
+    )
+    X, y = data[:, :4], data[:, 4]
+    Xw, _ = whiten(jnp.asarray(X, jnp.float64))
+    yw, _ = whiten(jnp.asarray(y, jnp.float64)[:, None])
+    ls = jnp.array([1.3978, 0.0028, 2.8966, 7.5565])
+    val = float(gp_nlml(Xw, yw[:, 0], 0.0195, 0.8333, ls))
+    assert abs(val - (-2239.2172)) < 0.5, val
