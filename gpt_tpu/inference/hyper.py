@@ -27,11 +27,18 @@ import optax
 
 
 def se_ard_kernel(X1: jnp.ndarray, X2: jnp.ndarray, length_scale, sigma_RBF2) -> jnp.ndarray:
-    """SE/ARD Gram matrix ``σ² exp(−½ Σ_k (x_k−x'_k)²/ℓ_k²)``."""
+    """SE/ARD Gram matrix ``σ² exp(−½ Σ_k (x_k−x'_k)²/ℓ_k²)``.
+
+    The cross-term matmul is pinned to HIGHEST precision: on TPU the default
+    bf16 MXU inputs perturb the Gram by ~1e-3, enough to break the SPD
+    property the downstream Cholesky needs (observed NaN at N=9568 with
+    small length scales).
+    """
     ls = jnp.broadcast_to(jnp.asarray(length_scale, X1.dtype), (X1.shape[-1],))
     A, B = X1 / ls, X2 / ls
     sq = (
-        jnp.sum(A**2, -1)[:, None] + jnp.sum(B**2, -1)[None, :] - 2 * A @ B.T
+        jnp.sum(A**2, -1)[:, None] + jnp.sum(B**2, -1)[None, :]
+        - 2 * jnp.einsum("nd,md->nm", A, B, precision=jax.lax.Precision.HIGHEST)
     )
     return sigma_RBF2 * jnp.exp(-0.5 * jnp.maximum(sq, 0.0))
 

@@ -1,0 +1,93 @@
+"""Multi-chain GMC with cross-chain convergence diagnostics → RECORDS.
+
+16 vmapped GMC chains on the PP tensor parity config; reports mean accept
+probability, split-R̂ and ESS of the posterior-mean prediction at held-out
+points (the function-space quantities the model is used for), matching the
+rstan Rhat/n_eff reporting the reference leaned on
+(``temperature_uk/tensor2d_kron.r:42-43``).
+"""
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/gpt_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpt_tpu.data import load_power_plant
+from gpt_tpu.diagnostics.mcmc import effective_sample_size, potential_scale_reduction
+from gpt_tpu.experiments.configs import POWER_PLANT_TENSOR as P
+from gpt_tpu.features import sample_tensor_rff, tensor_features, tensor_phi_scale
+from gpt_tpu.inference import GMCConfig, SGLDConfig, run_gmc, run_sgld
+from gpt_tpu.models import TensorGP, sample_core_indices
+from gpt_tpu.models.tensor_gp import TensorGPParams
+from gpt_tpu.utils.records import append_record
+
+RECORDS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RECORDS.jsonl")
+
+
+def main():
+    C, burnin, keep, L = 16, 40, 60, 30
+    split = load_power_plant()
+    key = jax.random.PRNGKey(23)
+    kI, kf, kp, ks = jax.random.split(key, 4)
+    D = split.X_train.shape[1]
+    I = sample_core_indices(kI, P.r, D, P.Q)
+    rff = sample_tensor_rff(kf, P.n, D)
+    scale = tensor_phi_scale(P.n, P.Q, D)
+    phi = tensor_features(jnp.asarray(split.X_train, jnp.float32), rff,
+                          P.length_scale, P.sigma_RBF, scale)
+    y = jnp.asarray(split.y_train, jnp.float32)
+    phi_probe = tensor_features(jnp.asarray(split.X_test[:32], jnp.float32), rff,
+                                P.length_scale, P.sigma_RBF, scale)
+
+    model = TensorGP(n=P.n, r=P.r, D=D, I=I, signal_var=P.signal_var,
+                     precision="highest")
+    cfg = GMCConfig(eps=TensorGPParams(w=P.epsw, U=P.epsU), num_leapfrog=L)
+    # per-chain SGLD warm start (the parity recipe: GMC from random inits
+    # wastes its budget traversing the prior)
+    warm_cfg = SGLDConfig(eps=TensorGPParams(w=P.epsw, U=P.epsU), transport="polar")
+    inits = jax.vmap(model.init_params)(jax.random.split(kp, C))
+    warm, _ = run_sgld(model, inits, jax.random.fold_in(ks, 1), phi, y,
+                       m=P.m, config=warm_cfg, burnin=30, maxepoch=0,
+                       collect_fn=lambda p: ())
+    params0 = warm.params
+    keys = jax.random.split(ks, C)
+
+    collect = lambda p: model.predict(p, phi_probe)  # function-space probe
+    run = jax.jit(jax.vmap(partial(
+        run_gmc, model, phi=phi, y=y, config=cfg,
+        burnin=burnin, maxepoch=keep, collect_fn=collect,
+    )))
+    t0 = time.time()
+    _, probes, accept = run(params0, keys)
+    jax.block_until_ready(probes)
+    wall = time.time() - t0
+
+    probes = np.asarray(probes)  # (C, keep, 32)
+    rhat = np.asarray(potential_scale_reduction(jnp.asarray(probes)))
+    ess = np.asarray(effective_sample_size(jnp.asarray(probes)))
+    m = dict(
+        chains=C, burnin=burnin, kept=keep, num_leapfrog=L,
+        mean_accept=round(float(np.mean(np.asarray(accept))), 3),
+        rhat_max=round(float(rhat.max()), 4),
+        rhat_median=round(float(np.median(rhat)), 4),
+        ess_min=round(float(ess.min()), 1),
+        ess_median=round(float(np.median(ess)), 1),
+        seconds=round(wall, 1),
+        leapfrogs_per_s=round(C * (burnin + keep) * L / wall, 1),
+    )
+    append_record(RECORDS, "gmc_multichain_diagnostics", m)
+    print(m, flush=True)
+
+
+if __name__ == "__main__":
+    main()
