@@ -45,19 +45,25 @@ def traceplot(samples: np.ndarray, *, max_traces: int = 10, path: str | None = N
 
 
 def learning_curves(curves: dict[str, np.ndarray], *, ylabel: str = "test RMSE",
-                    path: str | None = None, baseline: float | None = None):
-    """Per-epoch metric curves for several configs on one axis.
+                    path: str | None = None, baseline: float | None = None,
+                    x: np.ndarray | None = None, xlabel: str = "epoch",
+                    logx: bool = False):
+    """Metric curves for several configs on one axis.
 
     Reference: the per-n curves of ``PowerPlantNoTensorExperiment.jl:60-64``
-    and the eps-sensitivity sweeps of ``RMSEvsEps.jl``.
+    and the eps-sensitivity sweeps of ``RMSEvsEps.jl``. ``x`` gives explicit
+    x-coordinates (default: epoch index); ``logx`` for scaling studies.
     """
     plt = _plt()
     fig, ax = plt.subplots(figsize=(5, 3.5))
     for name, ys in curves.items():
-        ax.plot(np.asarray(ys), label=str(name))
+        xs = np.asarray(x) if x is not None else np.arange(len(np.asarray(ys)))
+        ax.plot(xs, np.asarray(ys), label=str(name), marker="o" if x is not None else None)
     if baseline is not None:
         ax.axhline(baseline, color="k", ls="--", lw=0.8, label="baseline")
-    ax.set_xlabel("epoch")
+    if logx:
+        ax.set_xscale("log", base=2)
+    ax.set_xlabel(xlabel)
     ax.set_ylabel(ylabel)
     ax.legend(fontsize=7)
     fig.tight_layout()
