@@ -70,25 +70,34 @@ def cf_gibbs_sweep(
     sample_w: bool = True,
 ) -> CFParams:
     """One Gibbs sweep over (U, V[, w]) given ALL ratings."""
+    if model.b != 0.0 or model.c != 0.0 or model.D1 or model.D2 or model.stiefel:
+        raise ValueError(
+            "cf_gibbs supports the plain bilinear model only (b=c=0, no "
+            "side-info rows, Gaussian factors) — the conjugate structure "
+            "breaks otherwise; the reference likewise has Gibbs only for "
+            "the plain model (100k_movielensExperiment.jl:944-1129). Use "
+            "run_sgld / run_cf_sgld_thresh for side-info configs."
+        )
     sv = model.signal_var
+    a = model.a  # pred = a·(U_u w V_mᵀ) → a folds into every regressor
     ku, kv, kw = jax.random.split(key, 3)
     U, V, w = params.U, params.V, params.w
 
-    # U | V, w  — regressor per rating: (V[movie] wᵀ)
-    featsU = V[batch.movies] @ w.T  # (N, r)
+    # U | V, w  — regressor per rating: a·(V[movie] wᵀ)
+    featsU = a * (V[batch.movies] @ w.T)  # (N, r)
     U = _batched_row_draw(ku, featsU, batch.users, y, model.n1, sv,
                           model.sigma_u, config.jitter)
 
     # V | U, w
-    featsV = U[batch.users] @ w  # (N, r)
+    featsV = a * (U[batch.users] @ w)  # (N, r)
     V = _batched_row_draw(kv, featsV, batch.movies, y, model.n2, sv,
                           model.sigma_u, config.jitter)
 
     if sample_w and not model.fix_w:
-        # w | U, V — per-rating feature vec(outer(U_u, V_m)) (row-major s,t
-        # matching pred = Σ_st U_u[s] w[s,t] V_m[t]).
+        # w | U, V — per-rating feature a·vec(outer(U_u, V_m)) (row-major
+        # s,t matching pred = a·Σ_st U_u[s] w[s,t] V_m[t]).
         Uu, Vm = U[batch.users], V[batch.movies]
-        Kron = (Uu[:, :, None] * Vm[:, None, :]).reshape(y.shape[0], -1)  # (N, r²)
+        Kron = a * (Uu[:, :, None] * Vm[:, None, :]).reshape(y.shape[0], -1)  # (N, r²)
         r2 = Kron.shape[1]
         prec = Kron.T @ Kron / sv + (1.0 / model.sigma_w**2 + config.jitter) * jnp.eye(
             r2, dtype=Kron.dtype

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from gpt_tpu.models.tensor_gp import TensorGP, TensorGPParams
-from gpt_tpu.ops.contraction import phidot
+from gpt_tpu.ops.contraction import leave_one_out_products, phidot
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,10 +86,8 @@ def gibbs_sweep(
     # --- draw U^(k) | w, U^(-k) for each k in turn ------------------------
     def draw_factor(U, k, kk):
         _, g = factors(U)  # recomputed so later k's see earlier draws
-        V = jnp.prod(g, axis=1)  # (N, Q)
-        # leave-one-dim-out product: V / g_k (guard exact zeros)
-        gk = g[:, k, :]
-        Vk = V / jnp.where(gk == 0, 1.0, gk)  # (N, Q)
+        # zero-safe leave-one-dim-out product (prefix/suffix, no division)
+        Vk = leave_one_out_products(g, axis=1)[:, k, :]  # (N, Q)
         # C[l, i] = Σ_{q: I[q,k] = l} w_q · Vk[i, q]  — segment-sum over q
         seg = I[:, k].astype(jnp.int32)  # (Q,)
         C = jax.ops.segment_sum((w[None, :] * Vk).T, seg, num_segments=r)  # (r, N)
@@ -155,8 +153,7 @@ def gibbs_sweep_columnwise(
             g = tables(U)
             V = jnp.prod(g, axis=1)
             in_l = (I[:, k] == l).astype(phi.dtype)  # (Q,)
-            gk = g[:, k, :]
-            loo = V / jnp.where(gk == 0, 1.0, gk)  # (N, Q) leave-k-out
+            loo = leave_one_out_products(g, axis=1)[:, k, :]  # (N, Q) leave-k-out
             a_l = loo @ (w * in_l)  # (N,)
             rest = V @ (w * (1.0 - in_l))  # (N,)
             feats = a_l[:, None] * phi[:, k, :]  # (N, n)

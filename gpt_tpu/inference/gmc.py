@@ -129,19 +129,25 @@ def run_gmc(
     grad_logp = jax.grad(logp)
 
     def leapfrog(carry, _):
-        params, momenta = carry
-        momenta = _half_step(params, momenta, grad_logp(params), manifolds, eps)
+        # The gradient at the step's endpoint is carried to the next
+        # iteration — the closing half-kick and the next opening half-kick
+        # share one full-data gradient evaluation (L+1 evals total, not 2L;
+        # the gradient dominates GMC epoch cost).
+        params, momenta, grads = carry
+        momenta = _half_step(params, momenta, grads, manifolds, eps)
         params, momenta = _position_step(params, momenta, manifolds, eps)
-        momenta = _half_step(params, momenta, grad_logp(params), manifolds, eps)
-        return (params, momenta), None
+        grads = grad_logp(params)
+        momenta = _half_step(params, momenta, grads, manifolds, eps)
+        return (params, momenta, grads), None
 
     def epoch_body(carry, _):
         params, k = carry
         k, kmom, kacc = jax.random.split(k, 3)
         momenta = _sample_momenta(kmom, params, manifolds)
         H_old = logp(params) - _kinetic(momenta)
-        (prop, prop_mom), _ = jax.lax.scan(
-            leapfrog, (params, momenta), None, length=config.num_leapfrog
+        (prop, prop_mom, _), _ = jax.lax.scan(
+            leapfrog, (params, momenta, grad_logp(params)), None,
+            length=config.num_leapfrog,
         )
         H_new = logp(prop) - _kinetic(prop_mom)
         log_ratio = jnp.where(jnp.isfinite(H_new), H_new - H_old, -jnp.inf)

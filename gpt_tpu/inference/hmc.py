@@ -46,18 +46,6 @@ class HMCState(NamedTuple):
     iter: jnp.ndarray
 
 
-def _leapfrog(grad_fn, position, momentum, eps, num_steps):
-    def body(carry, _):
-        q, p = carry
-        p = jax.tree.map(lambda pp, g: pp + 0.5 * eps * g, p, grad_fn(q))
-        q = jax.tree.map(lambda qq, pp: qq + eps * pp, q, p)
-        p = jax.tree.map(lambda pp, g: pp + 0.5 * eps * g, p, grad_fn(q))
-        return (q, p), None
-
-    (q, p), _ = jax.lax.scan(body, (position, momentum), None, length=num_steps)
-    return q, p
-
-
 def _kinetic(p):
     return sum(jnp.sum(x**2) / 2 for x in jax.tree.leaves(p))
 
@@ -98,19 +86,24 @@ def run_adaptive_hmc(
         else:
             L = config.num_leapfrog
         # fixed-length scan with masked extra steps would recompile per L;
-        # instead scan max steps and keep the L-th state
+        # instead scan max steps and keep the L-th state. The endpoint
+        # gradient is carried so adjacent half-kicks share one evaluation
+        # (L+1 gradient evals instead of 2L — the dominant per-epoch cost).
         def body(carry, i):
-            q, p = carry
-            p_half = jax.tree.map(lambda pp, g: pp + 0.5 * state.step_size * g, p, grad_fn(q))
+            q, p, g = carry
+            p_half = jax.tree.map(lambda pp, gg: pp + 0.5 * state.step_size * gg, p, g)
             q_new = jax.tree.map(lambda qq, pp: qq + state.step_size * pp, q, p_half)
-            p_new = jax.tree.map(lambda pp, g: pp + 0.5 * state.step_size * g, p_half, grad_fn(q_new))
+            g_new = grad_fn(q_new)
+            p_new = jax.tree.map(lambda pp, gg: pp + 0.5 * state.step_size * gg, p_half, g_new)
             take = i < L
             q = jax.tree.map(lambda a, b: jnp.where(take, b, a), q, q_new)
             p = jax.tree.map(lambda a, b: jnp.where(take, b, a), p, p_new)
-            return (q, p), None
+            g = jax.tree.map(lambda a, b: jnp.where(take, b, a), g, g_new)
+            return (q, p, g), None
 
-        (q_prop, p_prop), _ = jax.lax.scan(
-            body, (state.position, momentum), jnp.arange(config.num_leapfrog)
+        (q_prop, p_prop, _), _ = jax.lax.scan(
+            body, (state.position, momentum, grad_fn(state.position)),
+            jnp.arange(config.num_leapfrog),
         )
         H1 = log_prob_fn(q_prop) - _kinetic(p_prop)
         log_ratio = jnp.where(jnp.isfinite(H1), H1 - H0, -jnp.inf)

@@ -196,9 +196,12 @@ def make_sgld_step(
                     noise_scale = jnp.sqrt(e) if scale is None else jnp.sqrt(e * scale)
                     drift = drift + noise_scale * jax.random.normal(k, p.shape, p.dtype)
                 newp = p + drift
-                # NaN guard (GPT_SGLD.jl:840-843): reject non-finite steps.
-                ok = jnp.all(jnp.isfinite(newp))
-                rejected = rejected + (~ok).astype(jnp.int32)
+                # NaN guard (GPT_SGLD.jl:840-843): reject non-finite update
+                # coordinates, elementwise. A global jnp.all() reduction
+                # would couple chains in chain-batched (fused) runs — one
+                # diverged chain must not freeze the whole fleet's w.
+                ok = jnp.isfinite(newp)
+                rejected = rejected + jnp.any(~ok).astype(jnp.int32)
                 new_leaves.append(jnp.where(ok, newp, p))
 
         new_params = jax.tree.unflatten(treedef, new_leaves)

@@ -109,33 +109,40 @@ def vi_step(
     mu_w = sigma_w_new @ (EV.T @ y) / sv
 
     # ---- q(U^(k)_{·l}) for every (k, l) in turn ---------------------------
+    # Masks come from the host-side core table so the whole step is jittable
+    # (I is static per model); leave-one-out factors use zero-safe
+    # prefix/suffix products instead of dividing the full product.
+    import numpy as np
+
+    from gpt_tpu.ops.contraction import leave_one_out_products
+
+    I_np = np.asarray(I)
     Ew2 = mu_w[:, None] * mu_w[None, :] + sigma_w_new  # (Q, Q)
     for k in range(D):
         for l in range(r):
-            G, S = _tables(phi, mu_U, sigma_U, I)
-            M2, fac = _second_moment(G, S, I)
-            EV = jnp.prod(G, axis=1)
-            in_l = I[:, k] == l  # (Q,) static mask
-            if not bool(jnp.any(in_l)):
+            in_l_np = I_np[:, k] == l  # (Q,) host-static mask
+            if not in_l_np.any():
                 continue
+            in_l = jnp.asarray(in_l_np)
+            G, S = _tables(phi, mu_U, sigma_U, I)
+            _, fac = _second_moment(G, S, I)
+            loo_fac = leave_one_out_products(fac, axis=1)[:, k]  # (N, Q, Q)
             Gkl = G[:, k, :]  # (N, Q) means at dim k
-            fkl = fac[:, k, :, :]  # (N, Q, Q) dim-k pair factors
             mask2 = in_l[:, None] & in_l[None, :]
             cross = in_l[:, None] & (~in_l)[None, :]
 
-            # E[a²]: Σ_{q,q'∈l} Ew2·M2/fac_k  (both share the l column)
-            ratio_in = jnp.where(mask2[None], M2 / jnp.where(fkl == 0, 1.0, fkl), 0.0)
-            Ea2 = jnp.einsum("iqp,qp->i", ratio_in, jnp.where(mask2, Ew2, 0.0))
-            # Ea: mean of a = Σ_{q∈l} w_q Π_{d≠k}
-            loo = EV / jnp.where(Gkl == 0, 1.0, Gkl)  # (N, Q) leave-k-out mean
-            Ea = jnp.einsum("iq,q->i", jnp.where(in_l[None], loo, 0.0), mu_w * in_l)
-            # Eab: cross term with q' outside the column
-            ratio_cross = jnp.where(
-                cross[None],
-                M2 / jnp.where(Gkl[:, :, None] == 0, 1.0, Gkl[:, :, None]),
-                0.0,
+            # E[a²]: Σ_{q,q'∈l} Ew2·Π_{d≠k}fac_d  (both share the l column)
+            Ea2 = jnp.einsum(
+                "iqp,qp->i", loo_fac, jnp.where(mask2, Ew2, 0.0)
             )
-            Eab = jnp.einsum("iqp,qp->i", ratio_cross, jnp.where(cross, Ew2, 0.0))
+            # Ea: mean of a = Σ_{q∈l} w_q Π_{d≠k} G_d
+            loo = leave_one_out_products(G, axis=1)[:, k]  # (N, Q)
+            Ea = jnp.einsum("iq,q->i", loo, mu_w * in_l)
+            # Eab: cross term with q' outside the column — keep q''s own
+            # dim-k mean factor (pair factor G_q·G_p with G_q removed)
+            Eab = jnp.einsum(
+                "iqp,ip,qp->i", loo_fac, Gkl, jnp.where(cross, Ew2, 0.0)
+            )
 
             Ea2 = jnp.maximum(Ea2, 0.0)
             Phi = jnp.sqrt(Ea2)[:, None] * phi[:, k, :]  # (N, n)

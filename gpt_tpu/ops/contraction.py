@@ -66,6 +66,25 @@ def core_products(temp: jnp.ndarray, I: jnp.ndarray, *, mode: str = "gather",
     raise ValueError(f"unknown mode {mode!r}")
 
 
+def leave_one_out_products(g: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """``out[..., d, ...] = Π_{d' ≠ d} g[..., d', ...]`` along ``axis``.
+
+    Prefix/suffix cumulative products — no division, so exact zeros in ``g``
+    give the true leave-one-out value instead of a 0/inf artifact (the same
+    construction as the Pallas backward kernel). Used by the Gibbs and VI
+    conditionals, which the reference computes by dividing the full product
+    (``inf.R:37-46`` divides; its C kernel recomputes).
+    """
+    g = jnp.moveaxis(g, axis, 0)
+    ones = jnp.ones_like(g[:1])
+    prefix = jnp.concatenate([ones, jnp.cumprod(g, axis=0)[:-1]], axis=0)
+    rev = jnp.flip(g, axis=0)
+    suffix = jnp.flip(
+        jnp.concatenate([ones, jnp.cumprod(rev, axis=0)[:-1]], axis=0), axis=0
+    )
+    return jnp.moveaxis(prefix * suffix, 0, axis)
+
+
 def dense_core_predict(w: jnp.ndarray, U: jnp.ndarray, I: jnp.ndarray,
                        phi: jnp.ndarray, *, precision=None) -> jnp.ndarray:
     """Full chain with the one-hot folded into U first:
