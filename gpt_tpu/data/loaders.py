@@ -37,17 +37,15 @@ def _load_dense(path: str, cols: int, *, sep: str = " ", skip_header: int = 0) -
     return np.loadtxt(path, skiprows=skip_header)
 
 
+from gpt_tpu.utils.math import Whitening
+
+
 def _load_ratings_file(path: str) -> np.ndarray:
     from gpt_tpu.data import native_loader
 
     if native_loader.available():
         return native_loader.load_ratings(path)
     return np.loadtxt(path)[:, :3]
-
-
-class Whitening(NamedTuple):
-    mean: np.ndarray
-    std: np.ndarray
 
 
 class RegressionSplit(NamedTuple):

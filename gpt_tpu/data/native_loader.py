@@ -51,6 +51,8 @@ def available() -> bool:
 
 def count_rows(path: str) -> int:
     lib = _load()
+    if lib is None:
+        raise RuntimeError("libfastload.so not built (make -C native)")
     n = ctypes.c_int64(0)
     if lib.fl_count_rows(path.encode(), ctypes.byref(n)) != 0:
         raise OSError(f"fastload: cannot open {path}")

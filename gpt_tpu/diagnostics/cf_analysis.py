@@ -46,6 +46,11 @@ def rmse_by_frequency(
         edges = values
     else:
         edges = np.asarray(bins, np.float64)
+        # frequencies below the first edge (true cold start) get their own
+        # leading group instead of being clipped into bin 0
+        below = f < edges[0]
+        if below.any():
+            edges = np.concatenate([[f[below].min()], edges])
         group = np.clip(np.digitize(f, edges) - 1, 0, len(edges) - 1)
         values = edges
     k = len(values)

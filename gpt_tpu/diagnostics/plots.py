@@ -78,8 +78,12 @@ def surface2d(x: np.ndarray, y: np.ndarray, f: np.ndarray, *, path: str | None =
     the Bay-Area posterior maps of ``california/tensor2dplot.R``)."""
     plt = _plt()
     fig, ax = plt.subplots(figsize=(4.5, 3.8))
+    # f is flattened x-slowest (create_mesh_grid / fhatdraw ordering):
+    # f[i·len(y)+j] = f(x_i, y_j) → reshape (nx, ny), transpose so rows
+    # index y as pcolormesh expects. (A (len(y), len(x)) reshape renders
+    # every asymmetric surface mirrored/scrambled.)
     im = ax.pcolormesh(np.asarray(x), np.asarray(y),
-                       np.asarray(f).reshape(len(y), len(x)), shading="auto")
+                       np.asarray(f).reshape(len(x), len(y)).T, shading="auto")
     fig.colorbar(im, ax=ax)
     ax.set_title(title)
     fig.tight_layout()

@@ -124,19 +124,29 @@ def run_tensor2d_kron(
     )
 
 
-def load_california(path: str = "/root/reference/california/cadata.txt"):
-    """California housing (20640 rows): log-price target, lat/long inputs.
-
-    The data file is gitignored in the reference too (``.gitignore:1``);
-    returns None when absent. Preprocessing follows ``california/tensor2d.r``:
-    log target, first 10320 train (after the canonical permutation when
-    available), z-scoring by train stats.
+def load_california(path: str = "/root/reference/california/cadata.txt",
+                    n_train: int = 10320):
+    """California housing (20640 rows) exactly as ``california/tensor2d.r``:
+    log-price target, (lat, long) inputs, rows reordered by the canonical
+    permutation from ``california/permutation.mat`` (which IS in the
+    reference), first ``n_train`` rows train, every column z-scored by train
+    statistics. Returns a :class:`gpt_tpu.data.loaders.RegressionSplit`, or
+    None when ``cadata.txt`` is absent (gitignored in the reference too,
+    ``.gitignore:1``).
     """
     import os
+
+    from gpt_tpu.data.loaders import standardize_split
 
     if not os.path.exists(path):
         return None
     data = np.loadtxt(path)
     y = np.log(data[:, 0])
-    X = data[:, -2:]  # latitude, longitude
-    return X, y
+    X = data[:, -2:]  # latitude, longitude (tensor2d.r: data$lat, data$long)
+    perm_path = os.path.join(os.path.dirname(path), "permutation.mat")
+    if os.path.exists(perm_path):
+        import scipy.io
+
+        perm = scipy.io.loadmat(perm_path)["ii"].ravel().astype(np.int64) - 1
+        X, y = X[perm], y[perm]
+    return standardize_split(X[:n_train], y[:n_train], X[n_train:], y[n_train:])

@@ -49,7 +49,9 @@ class PosteriorPredictor:
         for start in range(0, N, c):
             block = jax.tree.map(lambda a: a[start : start + c], inputs)
             bn = jax.tree.leaves(block)[0].shape[0]
-            if bn < c and N > c:
+            if bn < c:  # always pad to the chunk: ONE compiled shape serves
+                # every request size (per-size jit compiles would stall the
+                # latency path)
                 # pad to the fixed chunk shape to avoid a recompile
                 block = jax.tree.map(
                     lambda a: jnp.concatenate(

@@ -25,6 +25,16 @@ def _git_rev() -> str:
         return "unknown"
 
 
+def _jsonable(v):
+    """Coerce a metric value to something json.dumps accepts: scalars via
+    float(), array-likes (np/jnp, any size) via .tolist()."""
+    if hasattr(v, "tolist"):
+        return v.tolist()
+    if hasattr(v, "__float__"):
+        return float(v)
+    return v
+
+
 def append_record(path: str, experiment: str, metrics: dict, config: dict | None = None) -> dict:
     """Append one JSON line ``{ts, git, experiment, config, metrics}``."""
     rec = {
@@ -32,7 +42,7 @@ def append_record(path: str, experiment: str, metrics: dict, config: dict | None
         "git": _git_rev(),
         "experiment": experiment,
         "config": config or {},
-        "metrics": {k: (float(v) if hasattr(v, "__float__") else v) for k, v in metrics.items()},
+        "metrics": {k: _jsonable(v) for k, v in metrics.items()},
     }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "a") as f:
