@@ -39,7 +39,6 @@ from gpt_tpu.experiments import configs as CFG
 from gpt_tpu.experiments.movielens import build_cf_model
 from gpt_tpu.features import sample_tensor_rff, tensor_features, tensor_phi_scale
 from gpt_tpu.inference import GMCConfig, SGLDConfig, run_gmc, run_sgld
-from gpt_tpu.inference.sgld import run_sgld_chains
 from gpt_tpu.models import TensorGP, sample_core_indices
 from gpt_tpu.models.cf import CFParams, ratings_batch
 from gpt_tpu.models.tensor_gp import TensorGPParams
@@ -153,22 +152,20 @@ def ml100k_sgld(C=64, epochs=5):
     key = jax.random.PRNGKey(17)
     kp, ks = jax.random.split(key)
     params0 = jax.vmap(lambda k: model.init_params(k))(jax.random.split(kp, C))
-    keys = jax.random.split(ks, C)
     train_batch, y_train = ratings_batch(jnp.asarray(fold.train, jnp.float32))
     cfg = SGLDConfig(eps=CFParams(U=preset.epsU, V=preset.epsU, w=preset.epsw))
     B = -(-y_train.shape[0] // preset.m)
 
-    def run(p, k):
-        final, _ = run_sgld_chains(
-            model, p, k, train_batch, y_train, m=preset.m, config=cfg,
-            burnin=epochs, maxepoch=0, collect_fn=lambda q: (),
-        )
-        return final
-
-    dt = _time(run, params0, keys)
+    # fused chain batching (CFModel broadcasts over leading chain axes),
+    # steady-state jit
+    jitted = jax.jit(partial(
+        run_sgld, model, phi=train_batch, y=y_train, m=preset.m, config=cfg,
+        burnin=epochs, maxepoch=0, collect_fn=lambda q: (),
+    ))
+    dt = _time(jitted, params0, ks)
     steps = C * B * epochs
     return {
-        "workload": f"ML-100k full-w side-info SGLD (80k ratings, m=100, {C} chains)",
+        "workload": f"ML-100k full-w side-info SGLD (80k ratings, m=100, {C} fused chains)",
         "steps_per_s": steps / dt,
         "seconds": dt,
         "reference_steps_per_s_proxy": 16.7,  # PP-epoch-derived CPU rate
