@@ -7,7 +7,12 @@ from gpt_tpu.inference.sgld import (
 )
 from gpt_tpu.inference.gmc import GMCConfig, run_gmc
 from gpt_tpu.inference.gibbs import GibbsConfig, gibbs_sweep, run_gibbs, init_gibbs_params
-from gpt_tpu.inference.cf_gibbs import CFGibbsConfig, cf_gibbs_sweep, run_cf_gibbs
+from gpt_tpu.inference.cf_gibbs import (
+    CFGibbsConfig,
+    cf_gibbs_sweep,
+    rotated_w_init,
+    run_cf_gibbs,
+)
 from gpt_tpu.inference.cf_sgld import run_cf_sgld_thresh, inclusion_probabilities
 from gpt_tpu.inference.ep import EPPosterior, EPState, fit_ep, predict_ep
 from gpt_tpu.inference.vi import VIConfig, VIState, init_vi, run_vi, vi_step
@@ -25,6 +30,7 @@ from gpt_tpu.inference.hyper import (
 __all__ = [
     "CFGibbsConfig",
     "cf_gibbs_sweep",
+    "rotated_w_init",
     "run_cf_gibbs",
     "run_cf_sgld_thresh",
     "inclusion_probabilities",

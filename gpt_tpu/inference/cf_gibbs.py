@@ -9,7 +9,8 @@ Capability parity with ``GPT_fixw_gibbs`` / ``GPT_fullw_gibbs``
 - (full-w variant) the core ``vec(w)`` from the r²×r² system with per-rating
   features ``vec(outer(U_user, V_movie))``,
 
-plus the optional random rotation of (w, U) at init (``:957-962``).
+plus the optional random rotation of (w, U) at init (``:957-962``) —
+:func:`rotated_w_init`.
 
 TPU-native: the reference's per-user Python loop with boolean masks becomes
 one ``segment_sum`` of per-rating outer products into ``(n_users, r, r)``
@@ -36,6 +37,21 @@ from gpt_tpu.models.cf import CFBatch, CFModel, CFParams
 class CFGibbsConfig:
     n_samples: int = 1  # Gibbs sweeps per epoch (reference n_samples)
     jitter: float = 1e-6
+
+
+def rotated_w_init(key: jax.Array, params: CFParams) -> CFParams:
+    """Random orthogonal re-parameterisation of the core at init.
+
+    The reference's ``rotated_w`` flag (``100k_movielensExperiment.jl:957-962``):
+    draw ``Q`` from the QR of an r×r Gaussian, then ``w ← Q w`` and
+    ``U ← U Qᵀ``. Per-rating predictions ``U[i,:] w V[j,:]ᵀ`` are invariant
+    (``U Qᵀ Q w = U w``); the rotation only randomises the *fixed-w* Gibbs
+    chain's coordinate frame so that a hand-picked diagonal ``w`` (e.g. the
+    BPMF-informed init, ``:782-795``) does not privilege axis-aligned factors.
+    """
+    r = params.w.shape[-1]
+    Qm, _ = jnp.linalg.qr(jax.random.normal(key, (r, r), params.w.dtype))
+    return params._replace(w=Qm @ params.w, U=params.U @ Qm.T)
 
 
 def _batched_row_draw(key, feats, seg_ids, y, num_entities, sv, sigma_u, jitter):

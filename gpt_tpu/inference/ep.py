@@ -152,7 +152,9 @@ def predict_ep(kernel, post: EPPosterior, Xs: jnp.ndarray):
     )
     mu_star = Ks.T @ (post.state.nu - srt * z)
     v = jax.scipy.linalg.solve_triangular(post.L, srt[:, None] * Ks, lower=True)
-    kss = jnp.diagonal(kernel(Xs, Xs))
+    # self-covariances only — materialising the full (M, M) test-test Gram
+    # just for its diagonal is O(M²) memory for large prediction batches
+    kss = jax.vmap(lambda x: kernel(x[None, :], x[None, :])[0, 0])(Xs)
     var_star = jnp.maximum(kss - jnp.sum(v * v, axis=0), 1e-10)
     prob = norm.cdf(mu_star / jnp.sqrt(1.0 + var_star))
     return mu_star, var_star, prob

@@ -67,14 +67,28 @@ class SGLDState(NamedTuple):
 
 
 def _broadcast_eps(eps, params):
-    """Broadcast a scalar or pytree-prefix of step sizes over param leaves."""
-    if isinstance(eps, (int, float)):
+    """Broadcast a scalar or pytree-prefix of step sizes over param leaves.
+
+    ``eps`` may be a scalar (applied to every leaf) or a pytree *prefix* of
+    ``params`` whose leaves are scalars — each prefix leaf is expanded over
+    the whole corresponding params subtree, so models whose params pytree
+    nests containers below the prefix level still map correctly.
+    """
+    is_scalar = lambda x: isinstance(x, (int, float)) or jnp.isscalar(x)
+    if is_scalar(eps):
         return jax.tree.map(lambda _: float(eps), params)
-    # pytree-prefix: rely on tree structure match (NamedTuple of scalars)
-    return jax.tree.map(
-        lambda e, p: e, eps, params,
-        is_leaf=lambda x: isinstance(x, (int, float)) or jnp.isscalar(x),
-    )
+
+    def expand(e, subtree):
+        if not is_scalar(e):
+            raise TypeError(
+                f"eps pytree leaf {e!r} is not a scalar — eps must be a "
+                "scalar or a pytree prefix of params with scalar leaves"
+            )
+        return jax.tree.map(lambda _: float(e), subtree)
+
+    # jax.tree.map with a prefix as the primary tree passes the matching
+    # params *subtree* to ``expand`` wholesale.
+    return jax.tree.map(expand, eps, params, is_leaf=is_scalar)
 
 
 def sgld_init(params, key, config: SGLDConfig) -> SGLDState:
@@ -92,11 +106,16 @@ def make_sgld_step(
     grad_fn: Callable,
     manifolds,
     config: SGLDConfig,
+    event_ndims=None,
 ) -> Callable:
     """Build the jittable transition kernel.
 
     ``grad_fn(params, batch) -> grads`` must already include the N/m
     minibatch scaling and the prior gradient (see :func:`run_sgld`).
+    ``event_ndims`` (pytree matching params, ints) gives the number of
+    *trailing* parameter axes per leaf — everything before them is treated as
+    independent chain axes for NaN-rejection accounting. ``None`` means the
+    whole leaf is one event (single-chain semantics).
     Returns ``step(state, batch) -> state``.
     """
     eps_tree = config.eps
@@ -127,12 +146,17 @@ def make_sgld_step(
         leaves_m = treedef.flatten_up_to(manifolds)
         leaves_e = treedef.flatten_up_to(eps)
         leaves_G = treedef.flatten_up_to(new_precond) if config.rmsprop else [None] * len(leaves_p)
+        leaves_ed = (
+            treedef.flatten_up_to(event_ndims)
+            if event_ndims is not None
+            else [None] * len(leaves_p)
+        )
         keys = jax.random.split(sub, len(leaves_p))
 
         new_leaves = []
         rejected = state.rejected
-        for p, g, man, e, G, k in zip(
-            leaves_p, leaves_g, leaves_m, leaves_e, leaves_G, keys
+        for p, g, man, e, G, ed, k in zip(
+            leaves_p, leaves_g, leaves_m, leaves_e, leaves_G, leaves_ed, keys
         ):
             if man == "frozen":  # fixed parameters (e.g. GPT_fixw's core w)
                 new_leaves.append(p)
@@ -196,13 +220,20 @@ def make_sgld_step(
                     noise_scale = jnp.sqrt(e) if scale is None else jnp.sqrt(e * scale)
                     drift = drift + noise_scale * jax.random.normal(k, p.shape, p.dtype)
                 newp = p + drift
-                # NaN guard (GPT_SGLD.jl:840-843): reject non-finite update
-                # coordinates, elementwise. A global jnp.all() reduction
-                # would couple chains in chain-batched (fused) runs — one
-                # diverged chain must not freeze the whole fleet's w.
-                ok = jnp.isfinite(newp)
-                rejected = rejected + jnp.any(~ok).astype(jnp.int32)
-                new_leaves.append(jnp.where(ok, newp, p))
+                # NaN guard (GPT_SGLD.jl:840-843): one non-finite coordinate
+                # means the whole per-chain update came from a corrupted
+                # gradient, so reject that chain's entire step — reduce
+                # isfinite over the trailing *parameter* axes only, keeping
+                # leading chain axes independent (one diverged chain must not
+                # freeze the fleet), and count one rejection per diverged
+                # chain, matching the Stiefel branch's accounting.
+                ev = p.ndim if ed is None else min(int(ed), p.ndim)
+                axes = tuple(range(p.ndim - ev, p.ndim))
+                bad = ~jnp.all(jnp.isfinite(newp), axis=axes)
+                rejected = rejected + jnp.sum(bad, dtype=jnp.int32)
+                new_leaves.append(
+                    jnp.where(bad[(...,) + (None,) * ev], p, newp)
+                )
 
         new_params = jax.tree.unflatten(treedef, new_leaves)
         return SGLDState(
@@ -305,7 +336,10 @@ def run_sgld(
 
         return jax.grad(logp)(params)
 
-    step = make_sgld_step(grad_fn, model.manifolds, config)
+    step = make_sgld_step(
+        grad_fn, model.manifolds, config,
+        event_ndims=getattr(model, "event_ndims", None),
+    )
 
     def epoch_body(state: SGLDState, _):
         key, kperm = jax.random.split(state.key)

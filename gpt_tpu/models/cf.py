@@ -103,6 +103,11 @@ class CFModel:
         tag = "stiefel" if self.stiefel else "euclidean"
         return CFParams(U=tag, V=tag, w="frozen" if self.fix_w else "euclidean")
 
+    @property
+    def event_ndims(self) -> CFParams:
+        """Trailing parameter axes per leaf (leading axes = chains)."""
+        return CFParams(U=2, V=2, w=2)
+
     # -- embeddings ---------------------------------------------------------
     def _selection(self, ids: jnp.ndarray, n: int, side: jnp.ndarray | None,
                    weight: float, dtype) -> jnp.ndarray:

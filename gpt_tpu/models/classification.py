@@ -45,6 +45,11 @@ class FullThetaClassifier:
     def manifolds(self) -> FullThetaClassParams:
         return FullThetaClassParams(theta="euclidean")
 
+    @property
+    def event_ndims(self) -> FullThetaClassParams:
+        """Trailing parameter axes per leaf (leading axes = chains)."""
+        return FullThetaClassParams(theta=2)
+
     def logits(self, params: FullThetaClassParams, phi: jnp.ndarray) -> jnp.ndarray:
         """``f[..., i, c] = φ_i ᵀ θ_c`` for ``phi (N, n)``."""
         return jnp.einsum("in,...cn->...ic", phi, params.theta)
@@ -101,6 +106,11 @@ class TensorGPClassifier:
     @property
     def manifolds(self) -> TensorClassParams:
         return TensorClassParams(w="euclidean", U="stiefel" if self.stiefel else "euclidean")
+
+    @property
+    def event_ndims(self) -> TensorClassParams:
+        """Trailing parameter axes per leaf (leading axes = chains)."""
+        return TensorClassParams(w=2, U=4)
 
     def logits(self, params: TensorClassParams, phi: jnp.ndarray) -> jnp.ndarray:
         """``f[..., i, c]`` — per-class tensor-GP predictions, ``phi (N, D, n)``."""

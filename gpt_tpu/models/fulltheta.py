@@ -34,6 +34,11 @@ class FullThetaGP:
     def manifolds(self) -> FullThetaParams:
         return FullThetaParams(theta="euclidean")
 
+    @property
+    def event_ndims(self) -> FullThetaParams:
+        """Trailing parameter axes per leaf (leading axes = chains)."""
+        return FullThetaParams(theta=1)
+
     def predict(self, params: FullThetaParams, phi: jnp.ndarray) -> jnp.ndarray:
         """``fhat = φ θ`` for ``phi (N, n)`` → ``(..., N)``."""
         return jnp.einsum("in,...n->...i", phi, params.theta)

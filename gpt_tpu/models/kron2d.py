@@ -72,6 +72,11 @@ class Tensor2D:
     def manifolds(self) -> Tensor2DParams:
         return Tensor2DParams(U="euclidean", V="euclidean", w="euclidean")
 
+    @property
+    def event_ndims(self) -> Tensor2DParams:
+        """Trailing parameter axes per leaf (leading axes = chains)."""
+        return Tensor2DParams(U=2, V=2, w=2)
+
     def predict(self, params: Tensor2DParams, phi) -> jnp.ndarray:
         """``phi = (phiU (N, n1), phiV (N, n2))`` → ``(..., N)``."""
         phiU, phiV = phi
@@ -116,6 +121,11 @@ class MatrixTheta:
     @property
     def manifolds(self) -> MatrixThetaParams:
         return MatrixThetaParams(theta="euclidean")
+
+    @property
+    def event_ndims(self) -> MatrixThetaParams:
+        """Trailing parameter axes per leaf (leading axes = chains)."""
+        return MatrixThetaParams(theta=2)
 
     def predict(self, params, phi) -> jnp.ndarray:
         phiU, phiV = phi

@@ -93,6 +93,14 @@ class TensorGP:
     # matmul precision for predict/log_lik; set "highest" for MH-exact
     # samplers (GMC) where bf16 MXU rounding corrupts the accept ratio.
     precision: str | None = None
+    # Pallas-backend gradient contract: with contraction="pallas" and
+    # diff_phi=False, predict() routes through the fused kernel whose custom
+    # VJP returns a ZERO cotangent for phi — correct (and fast) for the
+    # samplers, which only differentiate parameters, but silently wrong for
+    # any caller differentiating through phi (feature/length-scale learning).
+    # Default True keeps the full φ̄ backward; samplers construct their model
+    # with diff_phi=False explicitly.
+    diff_phi: bool = True
 
     @property
     def Q(self) -> int:
@@ -121,6 +129,11 @@ class TensorGP:
             w="euclidean", U="stiefel" if self.stiefel else "euclidean"
         )
 
+    @property
+    def event_ndims(self) -> TensorGPParams:
+        """Trailing parameter axes per leaf (leading axes = chains)."""
+        return TensorGPParams(w=1, U=3)
+
     # -- densities ----------------------------------------------------------
     def predict(self, params: TensorGPParams, phi: jnp.ndarray) -> jnp.ndarray:
         """fhat over a feature batch ``phi (N, D, n)`` → ``(..., N)``."""
@@ -135,12 +148,12 @@ class TensorGP:
                 C *= s
             w = params.w.reshape(C, self.Q)
             U = params.U.reshape(C, self.D, self.n, self.r)
-            # φ is never a differentiation target in the samplers, so the
-            # fused backward skips the (C, m, D, n) φ̄ tensor entirely.
+            # diff_phi=False skips the (C, m, D, n) φ̄ backward tensor — see
+            # the field docstring for the zero-phi-gradient contract.
             out = fused_tensor_predict(
                 w, U, self.I, phi,
                 interpret=_jax.default_backend() != "tpu",
-                diff_phi=False,
+                diff_phi=self.diff_phi,
             )
             return out.reshape(*lead, phi.shape[0])
         if self.contraction == "dense":

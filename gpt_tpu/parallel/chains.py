@@ -62,7 +62,10 @@ def make_multichip_sgld_step(
         g_prior = jax.grad(lambda p: model.log_prior(p))(params)
         return jax.tree.map(lambda a, b: scale * a + b, g_global, g_prior)
 
-    inner_step = make_sgld_step(local_grad_fn, model.manifolds, config)
+    inner_step = make_sgld_step(
+        local_grad_fn, model.manifolds, config,
+        event_ndims=getattr(model, "event_ndims", None),
+    )
 
     @partial(
         shard_map,

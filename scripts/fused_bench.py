@@ -74,10 +74,10 @@ def main():
         variants = {
             "vmap-onehot": (run_vmap, base, config),
             "fused-onehot": (run_fused, base, config),
-            "fused-pallas": (run_fused, dataclasses.replace(base, contraction="pallas"), config),
+            "fused-pallas": (run_fused, dataclasses.replace(base, contraction="pallas", diff_phi=False), config),
             "vmap-polar": (run_vmap, base, config_polar),
             "fused-polar": (run_fused, base, config_polar),
-            "fused-polar-pallas": (run_fused, dataclasses.replace(base, contraction="pallas"), config_polar),
+            "fused-polar-pallas": (run_fused, dataclasses.replace(base, contraction="pallas", diff_phi=False), config_polar),
         }
         for name, (runner, model, cfg) in variants.items():
             try:

@@ -8,21 +8,24 @@ from gpt_tpu.inference.sgld import SGLDConfig, make_sgld_step, sgld_init
 
 
 def test_one_diverged_chain_does_not_freeze_fleet(key):
-    """Euclidean NaN rejection must be per-coordinate: in chain-batched runs
-    a NaN gradient in chain 0 must not block chain 1's update."""
+    """Euclidean NaN rejection is per-chain: a NaN gradient in chain 0 must
+    reject chain 0's WHOLE step (no coordinate mixing — one NaN coordinate
+    means the whole update came from a corrupted gradient) without blocking
+    chain 1's update, and must count exactly one rejection per bad chain."""
     params = jnp.zeros((2, 3))  # 2 chains, 3 coords
 
     def grad_fn(p, _):
         g = jnp.ones_like(p)
-        return g.at[0].set(jnp.nan)  # chain 0 diverges
+        return g.at[0, 1].set(jnp.nan)  # ONE coordinate of chain 0 diverges
 
-    step = make_sgld_step(grad_fn, "euclidean", SGLDConfig(eps=1e-2, langevin=False))
-    st = sgld_init(params, key, SGLDConfig(eps=1e-2, langevin=False))
+    cfg = SGLDConfig(eps=1e-2, langevin=False)
+    step = make_sgld_step(grad_fn, "euclidean", cfg, event_ndims=1)
+    st = sgld_init(params, key, cfg)
     st = step(st, None)
     w = np.asarray(st.params)
-    assert np.all(w[0] == 0.0)          # diverged chain rejected (kept old)
+    assert np.all(w[0] == 0.0)          # diverged chain fully rejected
     assert np.all(w[1] > 0.0)           # healthy chain moved
-    assert int(st.rejected) >= 1
+    assert int(st.rejected) == 1        # per-chain accounting, not jnp.any
 
 
 def test_cf_gibbs_rejects_side_info_model(key):

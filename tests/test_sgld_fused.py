@@ -37,7 +37,7 @@ def test_fused_pallas_matches_xla_runner(key):
 
     outs = {}
     for contraction in ("onehot", "pallas"):
-        m = dataclasses.replace(model, contraction=contraction)
+        m = dataclasses.replace(model, contraction=contraction, diff_phi=False)
         final, collected = run_sgld_chains_fused(
             m, params0, ks, phi, y, m=8, config=config, burnin=1, maxepoch=2
         )
