@@ -222,10 +222,24 @@ class MovieLensFold(NamedTuple):
     num_movies: int
 
 
-def load_movielens_100k(fold: int = 1, root: str = REFERENCE_ROOT) -> MovieLensFold:
+def load_movielens_100k(fold: int | str = 1, root: str = REFERENCE_ROOT) -> MovieLensFold:
+    """Load one ML-100k split.
+
+    ``fold`` 1..5 → the distribution's ``u{fold}.base``/``u{fold}.test``
+    80k/20k folds (``100k_movielensExperiment.jl:563-566``). ``fold="file"``
+    → the *file-order* split of ``u.data`` (first 80k train, last 20k test),
+    which is the split the reference's BayesPMF head-to-head uses
+    (``100k_movielensExperiment.jl:1188-1191``: ``Rating = readdlm("ml-100k/u.data")``;
+    ``Ratingtest = Rating[Ntrain+1:Ntrain+Ntest,:]`` with Ntrain=80000) —
+    ``bayespmf_pred.h5`` rows align with that test set, NOT with u1.test.
+    """
     base = os.path.join(root, "ml-100k")
-    tr = _load_ratings_file(os.path.join(base, f"u{fold}.base")).astype(np.int64)
-    te = _load_ratings_file(os.path.join(base, f"u{fold}.test")).astype(np.int64)
+    if fold == "file":
+        all_ratings = _load_ratings_file(os.path.join(base, "u.data")).astype(np.int64)
+        tr, te = all_ratings[:80000], all_ratings[80000:100000]
+    else:
+        tr = _load_ratings_file(os.path.join(base, f"u{fold}.base")).astype(np.int64)
+        te = _load_ratings_file(os.path.join(base, f"u{fold}.test")).astype(np.int64)
     mean = float(tr[:, 2].mean())
     std = float(tr[:, 2].std(ddof=1))
 

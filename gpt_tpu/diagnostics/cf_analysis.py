@@ -63,9 +63,56 @@ def rmse_by_frequency(
 
 
 def load_bayespmf_predictions(path: str = "/root/reference/bayespmf_pred.h5") -> np.ndarray:
-    """The reference's BayesPMF comparison predictions (20000 test ratings of
-    fold u1; consumed at ``100k_movielensExperiment.jl:1190-1195``)."""
+    """The reference's BayesPMF comparison predictions, consumed at
+    ``100k_movielensExperiment.jl:1190-1195``.
+
+    Row alignment (recovered in round 2): the 20000 predictions correspond to
+    the *file-order* tail of ``ml-100k/u.data`` — rows 80001..100000 as the
+    reference reads them (``Rating = readdlm("ml-100k/u.data")``;
+    ``Ratingtest = Rating[Ntrain+1:Ntrain+Ntest,:]``), NOT to ``u1.test``
+    (corr 0.592 / RMSE 0.902 against the u.data tail vs corr 0.004 against
+    u1.test). Use ``load_movielens_100k(fold="file")`` for the matching split.
+    """
     import h5py
 
     with h5py.File(path, "r") as h:
         return np.array(h["bayespmf_pred"]).ravel()
+
+
+def bayespmf_head_to_head(
+    fold,
+    our_pred: np.ndarray,
+    *,
+    nbins: int = 100,
+    path: str = "/root/reference/bayespmf_pred.h5",
+):
+    """The reference's RMSE-by-frequency BayesPMF comparison
+    (``100k_movielensExperiment.jl:1188-1208``): binned per-user-frequency and
+    per-movie-frequency test RMSE curves for our predictions and BayesPMF's,
+    on the file-order u.data split.
+
+    ``fold`` must be ``load_movielens_100k(fold="file")``; ``our_pred`` is our
+    de-normalised (N_test,) prediction vector on ``fold.test``. Returns a dict
+    of FreqRMSE curves keyed ``{user,movie}_{ours,bpmf}`` plus overall RMSEs.
+    """
+    bpmf = load_bayespmf_predictions(path)
+    y_raw = fold.test[:, 2] * fold.rating_std + fold.rating_mean
+    users = fold.test[:, 0].astype(np.int64)
+    movies = fold.test[:, 1].astype(np.int64)
+    userfreq = entity_frequencies(fold.train[:, 0], fold.num_users)
+    moviefreq = entity_frequencies(fold.train[:, 1], fold.num_movies)
+    # quantile bin edges over test-rating frequencies, as the reference's
+    # nbins-quantile binning (100k_movielensExperiment.jl:1160-1178)
+    qu = np.unique(np.quantile(userfreq[users], np.linspace(0, 1, nbins + 1)[:-1]))
+    qm = np.unique(np.quantile(moviefreq[movies], np.linspace(0, 1, nbins + 1)[:-1]))
+    err_ours = y_raw - np.asarray(our_pred, np.float64)
+    err_bpmf = y_raw - bpmf
+    out = {
+        "user_ours": rmse_by_frequency(users, err_ours, userfreq, bins=qu),
+        "user_bpmf": rmse_by_frequency(users, err_bpmf, userfreq, bins=qu),
+        "movie_ours": rmse_by_frequency(movies, err_ours, moviefreq, bins=qm),
+        "movie_bpmf": rmse_by_frequency(movies, err_bpmf, moviefreq, bins=qm),
+        "rmse_ours": float(np.sqrt(np.mean(err_ours**2))),
+        "rmse_bpmf": float(np.sqrt(np.mean(err_bpmf**2))),
+    }
+    return out

@@ -29,6 +29,10 @@ class MovieLensRun(NamedTuple):
     best_epoch: int
     final_params: CFParams
     rejected: int
+    best_pred: np.ndarray  # (Ntest,) de-normalised+cutoff prediction at the
+    # best epoch — the reference's ``testpred_store[:,indmin(testRMSEvec)]``
+    # (``100k_movielensExperiment.jl:1188-1189``), fed to the BayesPMF
+    # head-to-head
 
 
 def build_cf_model(fold: MovieLensFold, preset: MovieLensPreset,
@@ -99,4 +103,5 @@ def run_movielens(
         best_epoch=best,
         final_params=final.params,
         rejected=int(np.asarray(final.rejected)),
+        best_pred=run_cut[best],
     )

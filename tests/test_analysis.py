@@ -127,3 +127,32 @@ def test_plots_smoke(tmp_path, key):
     import os
     for n in ["t.png", "c.png", "s.png"]:
         assert os.path.getsize(tmp_path / n) > 1000
+
+
+@needs_ref
+def test_bayespmf_alignment_with_udata_file_split():
+    """bayespmf_pred.h5 rows align with the file-order u.data tail (the
+    reference's split at 100k_movielensExperiment.jl:1188-1191), NOT u1.test —
+    the round-1 'unrecoverable ordering' claim was a wrong-split artifact."""
+    import numpy as np
+
+    from gpt_tpu.data import load_movielens_100k
+    from gpt_tpu.diagnostics.cf_analysis import (
+        bayespmf_head_to_head,
+        load_bayespmf_predictions,
+    )
+
+    fold = load_movielens_100k("file")
+    bpmf = load_bayespmf_predictions()
+    y_raw = fold.test[:, 2] * fold.rating_std + fold.rating_mean
+    corr = float(np.corrcoef(y_raw, bpmf)[0, 1])
+    rmse = float(np.sqrt(np.mean((y_raw - bpmf) ** 2)))
+    assert corr > 0.55, f"alignment lost: corr={corr}"
+    assert 0.85 < rmse < 0.95, f"BPMF RMSE off: {rmse}"
+
+    # head-to-head machinery runs end-to-end with a constant predictor
+    const = np.full(len(y_raw), fold.rating_mean)
+    hh = bayespmf_head_to_head(fold, const)
+    assert hh["rmse_bpmf"] < hh["rmse_ours"]  # BPMF beats predicting the mean
+    for k in ("user_ours", "user_bpmf", "movie_ours", "movie_bpmf"):
+        assert np.isfinite(hh[k].rmse[np.asarray(hh[k].counts) > 0]).all()
