@@ -68,7 +68,7 @@ def gibbs_sweep(
     eye_nr = jnp.eye(n * r, dtype=phi.dtype)
 
     key_w, key_u = jax.random.split(key)
-    U = params.U
+    U = params.U.astype(phi.dtype)  # draws inherit the feature dtype
 
     def factors(U):
         """temp (N, D, r) and gathered per-dim inner products g (N, D, Q)."""
@@ -134,35 +134,62 @@ def gibbs_sweep_columnwise(
     eye_n = jnp.eye(n, dtype=phi.dtype)
 
     key_w, key_u = jax.random.split(key)
-    U = params.U
+    It = I.T.astype(jnp.int32)  # (D, Q)
 
-    def tables(U):
-        temp = phidot(phi, U)
-        idx = jnp.broadcast_to(I.T.astype(jnp.int32), temp.shape[:-1] + (Q,))
-        return jnp.take_along_axis(temp, idx, axis=-1)  # g (N, D, Q)
+    def gather_g(temp):
+        """g[i, d, q] = temp[i, d, I[q, d]] — (N, D, Q), a pure gather."""
+        idx = jnp.broadcast_to(It, temp.shape[:-1] + (Q,))
+        return jnp.take_along_axis(temp, idx, axis=-1)
+
+    # temp (N, D, r) is THE incremental state: a column draw changes exactly
+    # one temp column (one matvec), so the full phidot runs once per sweep
+    # instead of once per column (the round-1 Python loop rebuilt all tables
+    # D·r times — O(D²·r²) forwards/sweep at kin40k scale).
+    temp = phidot(phi, params.U)
 
     # w | U — identical to the blocked sweep
-    g = tables(U)
+    g = gather_g(temp)
     V = jnp.prod(g, axis=1)
     prec_w = V.T @ V / sv + eye_q / sigma_w**2
     w = _mvn_from_precision(key_w, prec_w, V.T @ y / sv)
 
-    keys = jax.random.split(key_u, D * r)
-    for k in range(D):
-        for l in range(r):
-            g = tables(U)
-            V = jnp.prod(g, axis=1)
-            in_l = (I[:, k] == l).astype(phi.dtype)  # (Q,)
-            loo = leave_one_out_products(g, axis=1)[:, k, :]  # (N, Q) leave-k-out
+    keys = jax.random.split(key_u, (D, r))
+    dim_ids = jnp.arange(D, dtype=jnp.int32)
+
+    def factor_block(temp, inputs):
+        """Draw all r columns of factor k. The leave-k-out product ``loo``
+        depends only on the OTHER dimensions' tables, so it is constant
+        across the whole column scan — computed once per block."""
+        k, keys_k = inputs
+        g = gather_g(temp)
+        loo = jnp.prod(
+            jnp.where((dim_ids != k)[None, :, None], g, 1.0), axis=1
+        )  # (N, Q)
+        phik = jnp.take(phi, k, axis=1)  # (N, n)
+        Ik = jnp.take(I, k, axis=1).astype(jnp.int32)  # (Q,)
+
+        def draw_column(temp_k, inp):
+            l, kk = inp
+            in_l = (Ik == l).astype(phi.dtype)
+            g_k = jnp.take(temp_k, Ik, axis=1)  # (N, Q) current dim-k values
             a_l = loo @ (w * in_l)  # (N,)
-            rest = V @ (w * (1.0 - in_l))  # (N,)
-            feats = a_l[:, None] * phi[:, k, :]  # (N, n)
+            rest = (loo * g_k) @ (w * (1.0 - in_l))  # (N,)
+            feats = a_l[:, None] * phik  # (N, n)
             prec = feats.T @ feats / sv + (1.0 / sigma_u**2 + config.jitter) * eye_n
             rhs = feats.T @ (y - rest) / sv
-            u_l = _mvn_from_precision(keys[k * r + l], prec, rhs)
-            U = U.at[k, :, l].set(u_l)
+            u_l = _mvn_from_precision(kk, prec, rhs)
+            # incremental table refresh: only column l of dim k changed
+            temp_k = temp_k.at[:, l].set(phik @ u_l)
+            return temp_k, u_l
 
-    return TensorGPParams(w=w, U=U)
+        temp_k0 = jnp.take(temp, k, axis=1)  # (N, r)
+        temp_k, u_cols = jax.lax.scan(
+            draw_column, temp_k0, (jnp.arange(r, dtype=jnp.int32), keys_k)
+        )
+        return temp.at[:, k, :].set(temp_k), u_cols.T  # u_cols (r, n) → (n, r)
+
+    temp, U_new = jax.lax.scan(factor_block, temp, (dim_ids, keys))
+    return TensorGPParams(w=w, U=U_new)
 
 
 def run_gibbs(

@@ -109,51 +109,81 @@ def vi_step(
     mu_w = sigma_w_new @ (EV.T @ y) / sv
 
     # ---- q(U^(k)_{·l}) for every (k, l) in turn ---------------------------
-    # Masks come from the host-side core table so the whole step is jittable
-    # (I is static per model); leave-one-out factors use zero-safe
-    # prefix/suffix products instead of dividing the full product.
-    import numpy as np
-
-    from gpt_tpu.ops.contraction import leave_one_out_products
-
-    I_np = np.asarray(I)
+    # Scan-ified coordinate ascent (round-2): the per-datum mean/variance
+    # tables (mdot/svar, (N, D, r)) are the incremental state — a column
+    # update changes exactly one table column (one matvec / one quadratic
+    # form), and the leave-k-out pair factors are constant across a factor's
+    # whole column block, so the O(N·D·Q²) second-moment product is built
+    # once per factor instead of once per column (the round-1 Python loop
+    # rebuilt everything D·r times per sweep).
     Ew2 = mu_w[:, None] * mu_w[None, :] + sigma_w_new  # (Q, Q)
-    for k in range(D):
-        for l in range(r):
-            in_l_np = I_np[:, k] == l  # (Q,) host-static mask
-            if not in_l_np.any():
-                continue
-            in_l = jnp.asarray(in_l_np)
-            G, S = _tables(phi, mu_U, sigma_U, I)
-            _, fac = _second_moment(G, S, I)
-            loo_fac = leave_one_out_products(fac, axis=1)[:, k]  # (N, Q, Q)
-            Gkl = G[:, k, :]  # (N, Q) means at dim k
-            mask2 = in_l[:, None] & in_l[None, :]
-            cross = in_l[:, None] & (~in_l)[None, :]
+    It = I.T.astype(jnp.int32)  # (D, Q)
+    eqD = (I[:, None, :] == I[None, :, :]).transpose(2, 0, 1)  # (D, Q, Q)
+    dim_ids = jnp.arange(D, dtype=jnp.int32)
+    mdot = jnp.einsum("idn,dnl->idl", phi, mu_U)  # (N, D, r)
+    svar = jnp.einsum("idn,dlnm,idm->idl", phi, sigma_U, phi)  # (N, D, r)
 
-            # E[a²]: Σ_{q,q'∈l} Ew2·Π_{d≠k}fac_d  (both share the l column)
-            Ea2 = jnp.einsum(
-                "iqp,qp->i", loo_fac, jnp.where(mask2, Ew2, 0.0)
-            )
+    def factor_block(carry, inputs):
+        mdot, svar = carry
+        k, mu_k_old, sigma_k_old = inputs  # (n, r), (r, n, n)
+        idx = jnp.broadcast_to(It, mdot.shape[:-1] + (Q,))
+        G = jnp.take_along_axis(mdot, idx, axis=-1)  # (N, D, Q)
+        S = jnp.take_along_axis(svar, idx, axis=-1)
+        fac = G[:, :, :, None] * G[:, :, None, :] + eqD[None] * S[:, :, :, None]
+        keep = (dim_ids != k)[None, :, None, None]
+        loo_fac = jnp.prod(jnp.where(keep, fac, 1.0), axis=1)  # (N, Q, Q)
+        loo = jnp.prod(
+            jnp.where((dim_ids != k)[None, :, None], G, 1.0), axis=1
+        )  # (N, Q)
+        phik = jnp.take(phi, k, axis=1)  # (N, n)
+        Ik = jnp.take(I, k, axis=1).astype(jnp.int32)  # (Q,)
+
+        def update_column(carry_k, inp):
+            mdot_k, svar_k = carry_k  # (N, r) each — dim-k tables
+            l, mu_old, cov_old = inp  # (n,), (n, n)
+            in_l = Ik == l
+            fl = in_l.astype(phi.dtype)
+            Gkl = jnp.take(mdot_k, Ik, axis=1)  # (N, Q) current dim-k means
+            mask2 = jnp.where(in_l[:, None] & in_l[None, :], Ew2, 0.0)
+            cross = jnp.where(in_l[:, None] & (~in_l)[None, :], Ew2, 0.0)
+            # E[a²]: Σ_{q,q'∈l} Ew2·Π_{d≠k}fac_d (both share the l column)
+            Ea2 = jnp.maximum(jnp.einsum("iqp,qp->i", loo_fac, mask2), 0.0)
             # Ea: mean of a = Σ_{q∈l} w_q Π_{d≠k} G_d
-            loo = leave_one_out_products(G, axis=1)[:, k]  # (N, Q)
-            Ea = jnp.einsum("iq,q->i", loo, mu_w * in_l)
+            Ea = loo @ (mu_w * fl)
             # Eab: cross term with q' outside the column — keep q''s own
             # dim-k mean factor (pair factor G_q·G_p with G_q removed)
-            Eab = jnp.einsum(
-                "iqp,ip,qp->i", loo_fac, Gkl, jnp.where(cross, Ew2, 0.0)
-            )
-
-            Ea2 = jnp.maximum(Ea2, 0.0)
-            Phi = jnp.sqrt(Ea2)[:, None] * phi[:, k, :]  # (N, n)
+            Eab = jnp.einsum("iqp,ip,qp->i", loo_fac, Gkl, cross)
+            Phi = jnp.sqrt(Ea2)[:, None] * phik  # (N, n)
             prec = Phi.T @ Phi / sv + eye_n / su**2
-            rhs = phi[:, k, :].T @ (y * Ea - Eab) / sv
+            rhs = phik.T @ (y * Ea - Eab) / sv
             cov = jnp.linalg.inv(prec + config.jitter * eye_n)
             mu_col = cov @ rhs
-            mu_U = mu_U.at[k, :, l].set(mu_col)
-            sigma_U = sigma_U.at[k, l].set(cov)
+            # a column no core entry uses keeps its old q (the round-1
+            # host-side `continue`)
+            used = jnp.any(in_l)
+            mu_col = jnp.where(used, mu_col, mu_old)
+            cov = jnp.where(used, cov, cov_old)
+            mdot_k = mdot_k.at[:, l].set(phik @ mu_col)
+            svar_k = svar_k.at[:, l].set(
+                jnp.einsum("in,nm,im->i", phik, cov, phik)
+            )
+            return (mdot_k, svar_k), (mu_col, cov)
 
-    G, _ = _tables(phi, mu_U, sigma_U, I)
+        carry_k0 = (jnp.take(mdot, k, axis=1), jnp.take(svar, k, axis=1))
+        (mdot_k, svar_k), (mu_cols, covs) = jax.lax.scan(
+            update_column, carry_k0,
+            (jnp.arange(r, dtype=jnp.int32), mu_k_old.T, sigma_k_old),
+        )
+        mdot = mdot.at[:, k, :].set(mdot_k)
+        svar = svar.at[:, k, :].set(svar_k)
+        return (mdot, svar), (mu_cols.T, covs)  # (n, r), (r, n, n)
+
+    (mdot, svar), (mu_U, sigma_U) = jax.lax.scan(
+        factor_block, (mdot, svar), (dim_ids, mu_U, sigma_U)
+    )
+
+    idx = jnp.broadcast_to(It, mdot.shape[:-1] + (Q,))
+    G = jnp.take_along_axis(mdot, idx, axis=-1)
     fit = jnp.prod(G, axis=1) @ mu_w
     return VIState(mu_w=mu_w, sigma_w=sigma_w_new, mu_U=mu_U, sigma_U=sigma_U,
                    elbo_fit=fit)
@@ -169,10 +199,22 @@ def run_vi(
     num_iterations: int,
     config: VIConfig = VIConfig(),
 ) -> VIState:
-    """Run coordinate-ascent VI; returns the final variational state."""
+    """Run coordinate-ascent VI; returns the final variational state.
+
+    The whole run is ONE jitted ``lax.scan`` over sweeps (round-2: the
+    round-1 version Python-looped un-jitted sweeps).
+    """
     N, D, n = phi.shape
     r = int(I.max()) + 1
     state = init_vi(key, n, r, D, I.shape[0], config, dtype=phi.dtype)
-    for _ in range(num_iterations):
-        state = vi_step(state, phi, y, I, signal_var, config)
-    return state
+    state = state._replace(elbo_fit=jnp.zeros_like(y))  # static carry shape
+
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            return vi_step(s, phi, y, I, signal_var, config), None
+
+        final, _ = jax.lax.scan(body, state, None, length=num_iterations)
+        return final
+
+    return run(state)
