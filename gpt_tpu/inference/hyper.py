@@ -131,15 +131,27 @@ def optimize_hyperparams(
 
 @dataclasses.dataclass(frozen=True)
 class StochasticEMConfig:
-    """E-step SGLD settings + M-step optimiser settings
-    (``GPT_SGLD.jl:1005-1063``)."""
+    """E-step sampler settings + M-step optimiser settings
+    (``GPT_SGLD.jl:1005-1063``).
 
-    e_steps: int = 50  # SGLD steps per E-step
+    ``e_engine`` picks the E-step sampler: ``"sgld"`` is the reference's
+    ``GPNT_hyperparameters_ng`` E-step (``GPT_SGLD.jl:1031-1033``); ``"hmc"``
+    is the exact-MH dual-averaging HMC E-step — the capability of the
+    reference's Mamba-NUTS EM loops (``ImageExperiment.jl:223-283``,
+    ``BloodTransfusionExperiment.jl:135+``), here served by the in-framework
+    adaptive HMC engine instead of an external library.
+    """
+
+    e_steps: int = 50  # sampler transitions per E-step
     eps_theta: float = 1e-4
     m_steps: int = 5  # gradient steps per M-step (num_cg_iter analog)
     m_lr: float = 0.05
     max_rounds: int = 50
     tol: float = 1e-7  # ‖Δhyper‖ convergence (GPT_SGLD.jl:1028)
+    e_engine: str = "sgld"  # "sgld" | "hmc"
+    e_hmc_warmup: int = 10  # dual-averaging warmup transitions per E-step
+    e_hmc_leapfrog: int = 8
+    e_hmc_step: float = 0.05  # initial leapfrog step size (adapted per round)
 
 
 def stochastic_em(
@@ -161,15 +173,38 @@ def stochastic_em(
     grad_theta = jax.grad(lambda th, h: -neg_log_joint(th, h))  # ∇ log p
     grad_logh = jax.grad(lambda lh, th: neg_log_joint(th, jnp.exp(lh)))
 
-    def e_step(theta, h, k):
-        def body(th, kk):
-            g = grad_theta(th, h)
-            noise = jax.random.normal(kk, th.shape, th.dtype)
-            th = th + config.eps_theta * g / 2 + jnp.sqrt(config.eps_theta) * noise
-            return th, None
+    if config.e_engine == "hmc":
+        from gpt_tpu.inference.hmc import HMCConfig, run_adaptive_hmc
 
-        theta, _ = jax.lax.scan(body, theta, jax.random.split(k, config.e_steps))
-        return theta
+        hmc_cfg = HMCConfig(
+            num_leapfrog=config.e_hmc_leapfrog,
+            init_step_size=config.e_hmc_step,
+        )
+
+        def e_step(theta, h, k):
+            # a fresh short adaptive-HMC run per EM round, exactly the
+            # reference's per-round mcmc(...) call (ImageExperiment.jl:281);
+            # the E-step "sample" is the final draw.
+            samples, _, _ = run_adaptive_hmc(
+                lambda th: -neg_log_joint(th, h), theta, k,
+                num_warmup=config.e_hmc_warmup,
+                num_samples=config.e_steps,
+                config=hmc_cfg,
+            )
+            return jax.tree.map(lambda s: s[-1], samples)
+    elif config.e_engine == "sgld":
+
+        def e_step(theta, h, k):
+            def body(th, kk):
+                g = grad_theta(th, h)
+                noise = jax.random.normal(kk, th.shape, th.dtype)
+                th = th + config.eps_theta * g / 2 + jnp.sqrt(config.eps_theta) * noise
+                return th, None
+
+            theta, _ = jax.lax.scan(body, theta, jax.random.split(k, config.e_steps))
+            return theta
+    else:
+        raise ValueError(f"unknown e_engine {config.e_engine!r}")
 
     def m_step(theta, h):
         log_h = jnp.log(h)

@@ -1,15 +1,23 @@
-from gpt_tpu.parallel.mesh import make_mesh, chain_sharding, replicated_sharding
+from gpt_tpu.parallel.mesh import (
+    make_mesh,
+    make_feature_mesh,
+    chain_sharding,
+    replicated_sharding,
+)
 from gpt_tpu.parallel.chains import (
     make_multichip_sgld_step,
     run_sharded_chains,
     cross_chain_moments,
 )
+from gpt_tpu.parallel.tp import run_sgld_tp
 
 __all__ = [
     "make_mesh",
+    "make_feature_mesh",
     "chain_sharding",
     "replicated_sharding",
     "make_multichip_sgld_step",
     "run_sharded_chains",
     "cross_chain_moments",
+    "run_sgld_tp",
 ]

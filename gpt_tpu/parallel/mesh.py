@@ -16,6 +16,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 CHAIN_AXIS = "chain"
 DATA_AXIS = "data"
+FEATURE_AXIS = "feature"
+
+
+def make_feature_mesh(feature: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the RFF feature axis (TP for full-theta n=8k–16k).
+
+    The reference's largest no-tensor configs push the feature dimension to
+    n = 8000–16000 (``kin40kNoTensorExperiment.jl:34-46``); θ and the columns
+    of φ shard naturally over devices at that size (see
+    :mod:`gpt_tpu.parallel.tp`).
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if feature is not None:
+        devices = devices[:feature]
+    return Mesh(devices.reshape(-1), (FEATURE_AXIS,))
 
 
 def make_mesh(

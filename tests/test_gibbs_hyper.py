@@ -154,6 +154,41 @@ def test_stochastic_em_gaussian_sanity(key):
     assert int(rounds) > 0
 
 
+def test_stochastic_em_hmc_estep(key):
+    """The HMC E-step (the Mamba-NUTS capability, ImageExperiment.jl:223-283)
+    reaches the same hyperparameter answer as the SGLD E-step."""
+    kx, kn, ke = jax.random.split(key, 3)
+    N, n = 80, 10
+    phi = jax.random.normal(kx, (N, n)) / jnp.sqrt(n)
+    theta_true = jax.random.normal(kn, (n,)) * 2
+    y = phi @ theta_true + 0.3 * jax.random.normal(ke, (N,))
+
+    def neg_log_joint(theta, h):
+        sv = h[0]
+        resid = y - phi @ theta
+        return (
+            0.5 * jnp.sum(resid**2) / sv
+            + 0.5 * N * jnp.log(sv)
+            + 0.5 * jnp.sum(theta**2)
+        )
+
+    from gpt_tpu.inference import StochasticEMConfig
+
+    theta, h, rounds, converged = stochastic_em(
+        jax.random.PRNGKey(5),
+        jnp.zeros(n),
+        jnp.array([5.0]),
+        neg_log_joint=neg_log_joint,
+        config=StochasticEMConfig(
+            e_engine="hmc", e_steps=20, e_hmc_warmup=10, e_hmc_leapfrog=8,
+            max_rounds=60,
+        ),
+    )
+    assert bool(jnp.all(jnp.isfinite(theta)))
+    assert h[0] < 1.0, h  # same basin as the SGLD E-step
+    assert int(rounds) > 0
+
+
 def test_columnwise_gibbs_recovers(synth):
     """inf.R::GPT_infcol variant: n-dim column draws recover the signal too."""
     y = synth.y[0.1]
