@@ -31,10 +31,17 @@ from gpt_tpu.utils import stiefel
 
 @dataclasses.dataclass(frozen=True)
 class GMCConfig:
-    """Leapfrog step sizes (pytree-prefix like SGLDConfig.eps) and step count."""
+    """Leapfrog step sizes (pytree-prefix like SGLDConfig.eps) and step count.
+
+    ``jitter_steps=True`` draws L ~ U[1, num_leapfrog] per epoch (a masked
+    fixed-length scan — no recompilation), breaking the periodic-orbit
+    resonances a fixed trajectory length can lock into; standard HMC practice
+    (Neal 2011 §3.2) that the in-framework HMC engine already uses.
+    """
 
     eps: Any
     num_leapfrog: int
+    jitter_steps: bool = False
 
 
 def _sample_momenta(key, params, manifolds):
@@ -128,26 +135,41 @@ def run_gmc(
 
     grad_logp = jax.grad(logp)
 
-    def leapfrog(carry, _):
-        # The gradient at the step's endpoint is carried to the next
-        # iteration — the closing half-kick and the next opening half-kick
-        # share one full-data gradient evaluation (L+1 evals total, not 2L;
-        # the gradient dominates GMC epoch cost).
-        params, momenta, grads = carry
-        momenta = _half_step(params, momenta, grads, manifolds, eps)
-        params, momenta = _position_step(params, momenta, manifolds, eps)
-        grads = grad_logp(params)
-        momenta = _half_step(params, momenta, grads, manifolds, eps)
-        return (params, momenta, grads), None
+    def make_leapfrog(L):
+        def leapfrog(carry, i):
+            # The gradient at the step's endpoint is carried to the next
+            # iteration — the closing half-kick and the next opening half-kick
+            # share one full-data gradient evaluation (L+1 evals total, not 2L;
+            # the gradient dominates GMC epoch cost).
+            params, momenta, grads = carry
+            new_m = _half_step(params, momenta, grads, manifolds, eps)
+            new_p, new_m = _position_step(params, new_m, manifolds, eps)
+            new_g = grad_logp(new_p)
+            new_m = _half_step(new_p, new_m, new_g, manifolds, eps)
+            if L is None:
+                return (new_p, new_m, new_g), None
+            # jittered trajectory: steps ≥ L are computed but masked out
+            take = i < L
+            sel = lambda a, b: jax.tree.map(
+                lambda x, z: jnp.where(take, x, z), a, b
+            )
+            return (sel(new_p, params), sel(new_m, momenta), sel(new_g, grads)), None
+
+        return leapfrog
 
     def epoch_body(carry, _):
         params, k = carry
-        k, kmom, kacc = jax.random.split(k, 3)
+        k, kmom, kacc, kL = jax.random.split(k, 4)
         momenta = _sample_momenta(kmom, params, manifolds)
         H_old = logp(params) - _kinetic(momenta)
+        L = (
+            jax.random.randint(kL, (), 1, config.num_leapfrog + 1)
+            if config.jitter_steps
+            else None
+        )
         (prop, prop_mom, _), _ = jax.lax.scan(
-            leapfrog, (params, momenta, grad_logp(params)), None,
-            length=config.num_leapfrog,
+            make_leapfrog(L), (params, momenta, grad_logp(params)),
+            jnp.arange(config.num_leapfrog),
         )
         H_new = logp(prop) - _kinetic(prop_mom)
         log_ratio = jnp.where(jnp.isfinite(H_new), H_new - H_old, -jnp.inf)

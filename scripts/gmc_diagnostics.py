@@ -35,7 +35,11 @@ RECORDS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 
 
 def main():
-    C, burnin, keep, L = 16, 40, 60, 30
+    # defaults sized for convergence: jittered-L trajectories + enough kept
+    # epochs that per-probe ESS clears 100 (GMC runs ~2k leapfrogs/s, so 600
+    # epochs x 16 chains is a few minutes, not the reference's 38 h)
+    argv = [int(a) for a in sys.argv[1:]]
+    C, burnin, keep, L = (argv + [16, 150, 450, 30][len(argv):])[:4]
     split = load_power_plant()
     key = jax.random.PRNGKey(23)
     kI, kf, kp, ks = jax.random.split(key, 4)
@@ -51,7 +55,9 @@ def main():
 
     model = TensorGP(n=P.n, r=P.r, D=D, I=I, signal_var=P.signal_var,
                      precision="highest")
-    cfg = GMCConfig(eps=TensorGPParams(w=P.epsw, U=P.epsU), num_leapfrog=L)
+    cfg = GMCConfig(
+        eps=TensorGPParams(w=P.epsw, U=P.epsU), num_leapfrog=L, jitter_steps=True
+    )
     # per-chain SGLD warm start (the parity recipe: GMC from random inits
     # wastes its budget traversing the prior)
     warm_cfg = SGLDConfig(eps=TensorGPParams(w=P.epsw, U=P.epsU), transport="polar")

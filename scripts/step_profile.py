@@ -1,9 +1,14 @@
-"""Microprofile of the bench SGLD step: where does the 2.4 ms/step go?
+"""Microprofile of the bench SGLD step: where does the per-step time go?
 
 Times (per call, C chains): likelihood grad, Stiefel transport chain
-(project + cayley + orthonormalize + orthogonality check), noise generation,
-and the full transition kernel.
+(project + retract + orthonormalize + orthogonality check), noise generation,
+and the full transition kernel — plus XLA cost-model bytes for the scanned
+step, giving the HBM roofline (bytes/step vs ~819 GB/s on v5e) for the
+>256-chain bandwidth-bound regime.
+
+Usage: python scripts/step_profile.py [num_chains] [transport] [prng_impl]
 """
+import sys
 import time
 
 import jax
@@ -11,6 +16,12 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/gpt_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+C = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+TRANSPORT = sys.argv[2] if len(sys.argv) > 2 else "polar"
+if len(sys.argv) > 3:
+    jax.config.update("jax_default_prng_impl", sys.argv[3])
+
 import jax.numpy as jnp
 
 from gpt_tpu.data import load_power_plant
@@ -22,7 +33,6 @@ from gpt_tpu.models import TensorGP, sample_core_indices
 from gpt_tpu.models.tensor_gp import TensorGPParams
 from gpt_tpu.utils import stiefel
 
-C = 256
 STEPS = 100
 
 
@@ -53,7 +63,10 @@ def main():
     y = jnp.asarray(split.y_train, jnp.float32)
     N = y.shape[0]
     model = TensorGP(n=PRESET.n, r=PRESET.r, D=D, I=I, signal_var=PRESET.signal_var)
-    config = SGLDConfig(eps=TensorGPParams(w=PRESET.epsw, U=PRESET.epsU), transport="cayley")
+    config = SGLDConfig(
+        eps=TensorGPParams(w=PRESET.epsw, U=PRESET.epsU), transport=TRANSPORT
+    )
+    print(f"C={C} transport={TRANSPORT} prng={jax.config.jax_default_prng_impl}")
     params = jax.vmap(model.init_params)(jax.random.split(kp, C))
 
     idx = jnp.arange(PRESET.m)
@@ -75,13 +88,18 @@ def main():
 
     timeit("forward log_lik", fwd_only, params)
 
+    def retract(U, mom, sqe):
+        if TRANSPORT == "polar":
+            return stiefel.polar_retract(U, mom, sqe)
+        newU = stiefel.cayley_retract(U, mom, sqe)
+        return stiefel.orthonormalize(newU)
+
     @jax.jit
     def transport_only(p, g):
         sqe = jnp.sqrt(jnp.asarray(PRESET.epsU, jnp.float32))
         noise = jnp.zeros_like(p.U)
         mom = stiefel.project_tangent(p.U, sqe * g.U / 2 + noise)
-        newU = stiefel.cayley_retract(p.U, mom, sqe)
-        newU = stiefel.orthonormalize(newU)
+        newU = retract(p.U, mom, sqe)
         UtU = jnp.einsum("...ni,...nj->...ij", newU, newU,
                          precision=jax.lax.Precision.HIGHEST)
         err = jnp.max(jnp.abs(UtU - jnp.eye(newU.shape[-1])), axis=(-2, -1))
@@ -90,10 +108,24 @@ def main():
     timeit("stiefel transport chain", transport_only, params, grads)
 
     @jax.jit
-    def cayley_only(p, g):
-        return stiefel.cayley_retract(p.U, g.U, 1e-4)
+    def retract_only(p, g):
+        return retract(p.U, g.U, 1e-4)
 
-    timeit("  cayley_retract", cayley_only, params, grads)
+    timeit(f"  {TRANSPORT}_retract", retract_only, params, grads)
+
+    @jax.jit
+    def project_only(p, g):
+        return stiefel.project_tangent(p.U, g.U)
+
+    timeit("  project_tangent", project_only, params, grads)
+
+    @jax.jit
+    def orthcheck_only(p):
+        UtU = jnp.einsum("...ni,...nj->...ij", p.U, p.U,
+                         precision=jax.lax.Precision.HIGHEST)
+        return jnp.max(jnp.abs(UtU - jnp.eye(p.U.shape[-1])), axis=(-2, -1))
+
+    timeit("  orth-err check", orthcheck_only, params)
 
     @jax.jit
     def ortho_only(p):
@@ -123,13 +155,27 @@ def main():
     def scanned(st):
         return jax.lax.scan(lambda s, _: (step(s, None), None), st, None, length=50)[0]
 
-    out = scanned(st0)
+    compiled = scanned.lower(st0).compile()
+    out = compiled(st0)
     jax.block_until_ready(out.params.w)
     t0 = time.perf_counter()
-    out = scanned(st0)
+    out = compiled(st0)
     jax.block_until_ready(out.params.w)
     dt = time.perf_counter() - t0
-    print(f"{'scanned step (50x, per step)':35s} {dt/50*1e3:8.3f} ms", flush=True)
+    per_step = dt / 50
+    print(f"{'scanned step (50x, per step)':35s} {per_step*1e3:8.3f} ms", flush=True)
+
+    # HBM roofline: XLA cost-model bytes for the 50-step program
+    cost = compiled.cost_analysis()
+    if cost:
+        ba = cost.get("bytes accessed", float("nan")) / 50
+        flops = cost.get("flops", float("nan")) / 50
+        bw = ba / per_step / 1e9
+        print(f"{'bytes/step (cost model)':35s} {ba/1e6:8.2f} MB")
+        print(f"{'flops/step (cost model)':35s} {flops/1e9:8.3f} GF")
+        print(f"{'achieved HBM bandwidth':35s} {bw:8.1f} GB/s "
+              f"({bw/819*100:.1f}% of v5e 819 GB/s)")
+        print(f"{'fleet chain-steps/s':35s} {C/per_step:,.0f}")
 
 
 if __name__ == "__main__":
