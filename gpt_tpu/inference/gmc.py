@@ -37,11 +37,25 @@ class GMCConfig:
     fixed-length scan — no recompilation), breaking the periodic-orbit
     resonances a fixed trajectory length can lock into; standard HMC practice
     (Neal 2011 §3.2) that the in-framework HMC engine already uses.
+
+    ``adapt_step_size=True`` runs Stan-style dual averaging (Hoffman & Gelman
+    2014, Alg. 5 — the same scheme as ``inference.hmc``) on a GLOBAL scalar
+    multiplier of the leapfrog time √ε during the burn-in epochs, targeting
+    ``target_accept``; the w/U step-size *ratio* stays fixed at the configured
+    ``eps``. Post burn-in the averaged multiplier is frozen, preserving
+    detailed balance. This is what the reference tunes by hand and logs as
+    accept_prob traces (``GPT_SGLD.jl:789-797``).
     """
 
     eps: Any
     num_leapfrog: int
     jitter_steps: bool = False
+    adapt_step_size: bool = False
+    target_accept: float = 0.8
+    # dual-averaging constants (Stan defaults)
+    gamma: float = 0.05
+    t0: float = 10.0
+    kappa: float = 0.75
 
 
 def _sample_momenta(key, params, manifolds):
@@ -135,17 +149,17 @@ def run_gmc(
 
     grad_logp = jax.grad(logp)
 
-    def make_leapfrog(L):
+    def make_leapfrog(L, eps_t):
         def leapfrog(carry, i):
             # The gradient at the step's endpoint is carried to the next
             # iteration — the closing half-kick and the next opening half-kick
             # share one full-data gradient evaluation (L+1 evals total, not 2L;
             # the gradient dominates GMC epoch cost).
             params, momenta, grads = carry
-            new_m = _half_step(params, momenta, grads, manifolds, eps)
-            new_p, new_m = _position_step(params, new_m, manifolds, eps)
+            new_m = _half_step(params, momenta, grads, manifolds, eps_t)
+            new_p, new_m = _position_step(params, new_m, manifolds, eps_t)
             new_g = grad_logp(new_p)
-            new_m = _half_step(new_p, new_m, new_g, manifolds, eps)
+            new_m = _half_step(new_p, new_m, new_g, manifolds, eps_t)
             if L is None:
                 return (new_p, new_m, new_g), None
             # jittered trajectory: steps ≥ L are computed but masked out
@@ -157,18 +171,29 @@ def run_gmc(
 
         return leapfrog
 
-    def epoch_body(carry, _):
-        params, k = carry
-        k, kmom, kacc, kL = jax.random.split(k, 4)
+    def epoch_body(carry, e):
+        params, k, log_eta, log_eta_bar, h_bar = carry
+        # split the extra jitter key ONLY when jitter_steps is on: the
+        # 3-way split is the legacy stream of every recorded seeded GMC run
+        # (RECORDS.jsonl), which must stay bit-reproducible.
+        if config.jitter_steps:
+            k, kmom, kacc, kL = jax.random.split(k, 4)
+            L = jax.random.randint(kL, (), 1, config.num_leapfrog + 1)
+        else:
+            k, kmom, kacc = jax.random.split(k, 3)
+            L = None
+        if config.adapt_step_size:
+            # dual averaging on a global multiplier η of √ε: during burn-in
+            # the current iterate exp(log_η) (starting at η=1), after burn-in
+            # the frozen average exp(log_η̄). eps scales by η².
+            eta = jnp.where(e < burnin, jnp.exp(log_eta), jnp.exp(log_eta_bar))
+            eps_t = jax.tree.map(lambda x: jnp.asarray(x) * eta**2, eps)
+        else:
+            eps_t = eps
         momenta = _sample_momenta(kmom, params, manifolds)
         H_old = logp(params) - _kinetic(momenta)
-        L = (
-            jax.random.randint(kL, (), 1, config.num_leapfrog + 1)
-            if config.jitter_steps
-            else None
-        )
         (prop, prop_mom, _), _ = jax.lax.scan(
-            make_leapfrog(L), (params, momenta, grad_logp(params)),
+            make_leapfrog(L, eps_t), (params, momenta, grad_logp(params)),
             jnp.arange(config.num_leapfrog),
         )
         H_new = logp(prop) - _kinetic(prop_mom)
@@ -178,10 +203,31 @@ def run_gmc(
         new_params = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), prop, params
         )
-        return (new_params, k), (collect_fn(new_params), accept_prob)
+        if config.adapt_step_size:
+            it_f = e.astype(jnp.float32) + 1.0
+            w_eta = 1.0 / (it_f + jnp.float32(config.t0))
+            h_new = (1 - w_eta) * h_bar + w_eta * (
+                jnp.float32(config.target_accept) - accept_prob.astype(jnp.float32)
+            )
+            mu = jnp.float32(jnp.log(10.0))  # shrink toward 10x the base eps
+            log_eta_new = mu - jnp.sqrt(it_f) / jnp.float32(config.gamma) * h_new
+            pow_ = it_f ** jnp.float32(-config.kappa)
+            leb_new = pow_ * log_eta_new + (1 - pow_) * log_eta_bar
+            # freeze the iterates once burn-in ends
+            adapting = e < burnin
+            h_bar = jnp.where(adapting, h_new, h_bar)
+            log_eta = jnp.where(adapting, log_eta_new, log_eta)
+            log_eta_bar = jnp.where(adapting, leb_new, log_eta_bar)
+        return (new_params, k, log_eta, log_eta_bar, h_bar), (
+            collect_fn(new_params), accept_prob
+        )
 
-    (final, _), (collected, accept_probs) = jax.lax.scan(
-        epoch_body, (params0, key), None, length=burnin + maxepoch
+    zero = jnp.zeros((), jnp.float32)
+    carry0 = (params0, key, zero, zero, zero)
+    (final, _, _, log_eta_bar, _), (collected, accept_probs) = jax.lax.scan(
+        epoch_body, carry0, jnp.arange(burnin + maxepoch)
     )
     collected = jax.tree.map(lambda a: a[burnin:], collected)
+    if config.adapt_step_size:
+        return final, collected, accept_probs, jnp.exp(log_eta_bar)
     return final, collected, accept_probs

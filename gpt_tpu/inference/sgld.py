@@ -392,6 +392,156 @@ def run_sgld_chains(
     return jax.jit(jax.vmap(lambda p, k: run(p, k)))(params0_chains, keys)
 
 
+def _pick_block(total: int, target: int) -> int:
+    """Largest divisor of ``total`` that is ≤ ``target`` (≥ 1)."""
+    for cand in range(min(target, total), 0, -1):
+        if total % cand == 0:
+            return cand
+    return 1
+
+
+def run_sgld_megafused(
+    model,
+    params0_chains,
+    key: jax.Array,
+    phi: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    m: int,
+    config: SGLDConfig,
+    burnin: int,
+    maxepoch: int,
+    collect_fn: Callable | None = None,
+    chain_block: int = 16,
+    data_chunk: int = 32,
+    interpret: bool | None = None,
+):
+    """Chain-fleet SGLD where EVERY transition is ONE fused Pallas kernel.
+
+    The speed-of-light runner for ``TensorGP`` (stiefel=True, polar
+    transport): forward, hand-derived backward, noise (in-kernel TPU PRNG),
+    w update, tangent projection, Newton–Schulz polar retraction and the
+    divergence check all execute inside a single ``pallas_call`` per step
+    with chain-merged MXU shapes (see ``ops/pallas_sgld.py``). Breaks the
+    >256-chain scaling cliff of the XLA-op-graph path: the (C, m, D, Q)
+    backward intermediates and the C·D tiny manifold einsums never exist.
+
+    Semantics: the update law of :func:`make_sgld_step` with
+    ``transport="polar"``; chains share each epoch's minibatch permutation
+    (like :func:`run_sgld_chains_fused`) but keep independent parameters and
+    independent noise. The noise stream is the TPU hardware PRNG, not
+    threefry, so runs are reproducible for a fixed seed/shape but not
+    bit-identical to the vmap path — equivalence is exact for
+    ``langevin=False`` and statistical otherwise (``tests/test_pallas_sgld.py``).
+
+    Returns ``(params_final, collected, rejected_total)`` with params in the
+    canonical (C, ...) layout.
+    """
+    from gpt_tpu.ops.contraction import core_indicator
+    from gpt_tpu.ops.pallas_sgld import fused_sgld_step
+
+    if not getattr(model, "stiefel", True):
+        raise NotImplementedError("megafused runner requires stiefel factors")
+    if config.transport != "polar" or config.rmsprop:
+        raise NotImplementedError("megafused runner: polar transport, no rmsprop")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    C, Q = params0_chains.w.shape
+    D, n, r = model.D, model.n, model.r
+    CB = _pick_block(C, chain_block)
+    NB = C // CB
+    mc = _pick_block(m, data_chunk)
+    Mch = m // mc
+    N = y.shape[0]
+    B, pad = _pad_data(N, m)
+
+    eps = config.eps
+    eps_w = float(eps.w if hasattr(eps, "w") else eps)
+    eps_U = float(eps.U if hasattr(eps, "U") else eps)
+    ns_iters = 2
+
+    phi_pad = jnp.concatenate([phi, jnp.zeros_like(phi[:1])], axis=0)
+    phi_bf16 = phi_pad.astype(jnp.bfloat16)
+    y_pad = jnp.concatenate([y, jnp.zeros_like(y[:1])], axis=0)
+    onehot = core_indicator(model.I, r, dtype=jnp.bfloat16)        # (Q, D, r)
+    onehotT = jnp.transpose(onehot, (2, 1, 0))                      # (r, D, Q)
+
+    if collect_fn is None:
+        collect_fn = lambda p: p
+
+    params_cls = type(params0_chains)
+
+    def to_internal(p):
+        w3 = p.w.reshape(NB, CB, Q)
+        U4 = jnp.transpose(p.U, (1, 2, 0, 3)).reshape(D, n, NB, CB * r)
+        return w3, U4
+
+    def to_canonical(w3, U4):
+        w = w3.reshape(C, Q)
+        U = jnp.transpose(U4.reshape(D, n, C, r), (2, 0, 1, 3))
+        return params_cls(w=w, U=U)
+
+    w3_0, U4_0 = to_internal(params0_chains)
+    base_seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max,
+                                   dtype=jnp.int32)
+    kperm_base = jax.random.split(key, 2)[1]
+    knoise_base = jax.random.split(key, 3)[2]
+    # interpret mode has no in-kernel TPU PRNG — feed threefry normals instead
+    input_noise = interpret and config.langevin
+
+    def batch_body(carry, b_and_idx):
+        w3, U4, step, rejected = carry
+        idx, wts = b_and_idx
+        phi_b = phi_bf16[idx].reshape(Mch, mc, D, n)
+        y_b = y_pad[idx].reshape(Mch, mc, 1)
+        wts_b = wts.reshape(Mch, mc, 1)
+        nwts = jnp.sum(wts)
+        scale = N / jnp.maximum(nwts, 1.0)
+        t = step.astype(jnp.float32) + 1.0
+        decay = t ** (-config.decay) if config.decay else 1.0
+        scalars = jnp.stack(
+            [scale, eps_w * decay, eps_U * decay, jnp.float32(0.0)]
+        ).reshape(1, 4)
+        seed = (base_seed + step * jnp.int32(2654435761 & 0x7FFFFFFF)).reshape(1, 1)
+        noise = None
+        if input_noise:
+            kn = jax.random.fold_in(knoise_base, step)
+            k1, k2 = jax.random.split(kn)
+            noise = (
+                jax.random.normal(k1, (NB, CB, Q), jnp.float32),
+                jax.random.normal(k2, (D, n, NB, CB * r), jnp.float32),
+            )
+        w3n, U4n, rej = fused_sgld_step(
+            w3, U4, phi_b, y_b, wts_b, onehot, onehotT, scalars, seed,
+            r=r, ns_iters=ns_iters, langevin=config.langevin,
+            sigma_w2=model.sigma_w ** 2, signal_var=model.signal_var,
+            interpret=interpret, noise=noise,
+        )
+        return (w3n, U4n, step + 1, rejected + jnp.sum(rej)), None
+
+    def epoch_body(carry, e):
+        w3, U4, step, rejected = carry
+        kperm = jax.random.fold_in(kperm_base, e)
+        idx, wts = _epoch_batches(kperm, N, B, m, pad)
+        (w3, U4, step, rejected), _ = jax.lax.scan(
+            batch_body, (w3, U4, step, rejected),
+            (idx, wts),
+        )
+        return (w3, U4, step, rejected), collect_fn(to_canonical(w3, U4))
+
+    @jax.jit
+    def run(w3, U4):
+        carry0 = (w3, U4, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        (w3f, U4f, _, rejected), collected = jax.lax.scan(
+            epoch_body, carry0, jnp.arange(burnin + maxepoch)
+        )
+        collected = jax.tree.map(lambda a: a[burnin:], collected)
+        return to_canonical(w3f, U4f), collected, rejected
+
+    return run(w3_0, U4_0)
+
+
 def run_sgld_chains_fused(
     model,
     params0_chains,

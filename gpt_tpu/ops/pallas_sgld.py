@@ -1,0 +1,309 @@
+"""Fully-fused chain-blocked SGLD transition kernel (Pallas TPU).
+
+ONE ``pallas_call`` advances a whole fleet of tensor-GP SGLD chains through an
+ENTIRE transition: likelihood forward, hand-derived backward
+(``computeU_phi``/``computeA``/``computePsi`` chain, ``GPT_SGLD.jl:245-286``),
+Langevin noise (in-kernel TPU PRNG, Box–Muller), the Euclidean w update, the
+Stiefel update (tangent projection + Newton–Schulz polar retraction,
+``GPT_SGLD.jl:410-439``), and the divergence check — with every intermediate
+resident in VMEM.
+
+Why: the XLA-op-graph step at C=4096 chains costs ~17 ms while its cost-model
+floor is ~0.3 ms — the gap is (a) tiny per-chain matmuls that cannot tile the
+MXU, (b) a likelihood backward that materialises (C, m, D, Q) HBM tensors,
+(c) dozens of small-op dispatches, and (d) threefry noise. This kernel removes
+all four (measured in ``scripts/cliff_probe.py`` / SCALING_chains.md).
+
+TPU-first design decisions:
+
+- **Chain-merged matmul shapes.** Chains live on the matmul *lane* axis:
+  ``U`` is carried as ``(D, n, C/CB, CB*r)`` so a block's per-dimension factor
+  stack is one ``(n, CB*r)`` operand and ``phidot`` is a single MXU matmul
+  ``(mc, n) @ (n, CB*r)`` per dimension — CB chains per pass instead of 1.
+- **Grid ``(chain_blocks, data_chunks)``** with gradient accumulators in VMEM
+  scratch: the minibatch is swept in ``mc``-row chunks, so VMEM holds only
+  ``(mc*CB, Q)`` product tensors (the (C, m, D, Q) HBM blow-up of the XLA
+  backward never exists), and arbitrarily large batches stream.
+- **Block-diagonal manifold algebra.** The per-chain r x r Gram/NS-iteration
+  matmuls (the >256-chain cliff's root cause: C*D batched (10, 100)@(100, 10)
+  einsums at HIGHEST precision) become per-block ``(CB*r, CB*r)`` matmuls
+  masked to their block diagonal — 8-16 chains' manifold algebra per MXU pass.
+- **Divergence check fused into the retraction.** The Newton–Schulz iteration
+  already computes X^T X; its first residual ``max |X^T X - I|`` IS the
+  divergence signal (healthy steps: ~eps_U * ||mom||^2 ~ 1e-5; diverged
+  gradients: >> 1; NaN -> rejected), so the separate HIGHEST-precision
+  orthogonality-check einsum of the XLA path disappears.
+- **In-kernel noise.** ``pltpu.prng_random_bits`` + Box–Muller replaces
+  threefry2x32 (measured ~1 ms per step at C=256 for the (C, D, n, r) normal
+  draw — comparable to the entire rest of the step).
+- bf16 1-pass MXU for the likelihood path (same effective precision class as
+  the XLA path's DEFAULT-precision einsums on TPU), f32 HIGHEST for the
+  manifold algebra (NS correction must resolve ~1e-5 Gram residuals).
+
+Semantics match ``make_sgld_step`` (polar transport, langevin on/off) with the
+same update law; noise streams differ (TPU PRNG vs threefry), so cross-path
+tests are exact with ``langevin=False`` and statistical otherwise — see
+``tests/test_pallas_sgld.py``.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _normals(shape):
+    """Standard normals via in-kernel PRNG bits + Box–Muller (cos branch)."""
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # 24 high bits -> u1 in (0, 1] (log-safe), u2 in [0, 1)
+    u1 = (b1 >> 8).astype(jnp.float32) * (1.0 / 16777216.0) + (0.5 / 16777216.0)
+    u2 = (b2 >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+    rad = jnp.sqrt(-2.0 * jnp.log(u1))
+    return rad * jnp.cos((2.0 * math.pi) * u2)
+
+
+def _sgld_kernel(
+    # static (closed over via functools.partial)
+    D, n, r, Q, CB, mc, Mch, ns_iters, langevin, sigma_w2, signal_var, orth_tol,
+    tpu_prng,
+    # refs
+    scal_ref, seed_ref, phi_ref, y_ref, wt_ref, oh_ref, ohT_ref, w_ref, U_ref,
+    *rest,
+):
+    if tpu_prng or not langevin:
+        nw_ref = nU_ref = None
+        (wout_ref, Uout_ref, rej_ref, wbar_acc, Ubar_acc) = rest
+    else:
+        (nw_ref, nU_ref, wout_ref, Uout_ref, rej_ref, wbar_acc, Ubar_acc) = rest
+    c = pl.program_id(0)
+    j = pl.program_id(1)
+    CBr = CB * r
+    f32 = jnp.float32
+    scale = scal_ref[0, 0]
+    eps_w = scal_ref[0, 1]
+    eps_U = scal_ref[0, 2]
+
+    @pl.when(j == 0)
+    def _():
+        wbar_acc[...] = jnp.zeros_like(wbar_acc)
+        Ubar_acc[...] = jnp.zeros_like(Ubar_acc)
+
+    w = w_ref[0]            # (CB, Q) f32
+    phi = phi_ref[0]        # (mc, D, n) bf16
+    y = y_ref[0]            # (mc, 1) f32
+    wt = wt_ref[0]          # (mc, 1) f32
+
+    # ---- forward: temp -> g -> V -> fhat --------------------------------
+    gs = []
+    V = None
+    for d in range(D):
+        Ucat = U_ref[d, :, 0, :]                          # (n, CBr) f32
+        temp = jnp.dot(phi[:, d, :], Ucat.astype(jnp.bfloat16),
+                       preferred_element_type=f32)        # (mc, CBr)
+        temp2 = temp.reshape(mc * CB, r)                  # rows (i, c)-major
+        g = jnp.dot(temp2.astype(jnp.bfloat16), ohT_ref[:, d, :],
+                    preferred_element_type=f32)           # (mc*CB, Q)
+        gs.append(g)
+        V = g if V is None else V * g
+
+    V3 = V.reshape(mc, CB, Q)
+    fhat = jnp.sum(V3 * w[None], axis=-1)                 # (mc, CB)
+    gbar = (scale / signal_var) * wt * (y - fhat)         # (mc, CB)
+
+    wbar_acc[...] += jnp.sum(V3 * gbar[:, :, None], axis=0)
+
+    # ---- backward: leave-one-out products -> Ubar accumulation ----------
+    Vbar = (gbar[:, :, None] * w[None]).reshape(mc * CB, Q)
+    sufs = [None] * D
+    s = None
+    for d in range(D - 1, 0, -1):
+        s = gs[d] if s is None else s * gs[d]
+        sufs[d - 1] = s
+    pre = None
+    for d in range(D):
+        if D == 1:
+            loo = jnp.ones_like(Vbar)
+        elif d == 0:
+            loo = sufs[0]
+        elif d == D - 1:
+            loo = pre
+        else:
+            loo = pre * sufs[d]
+        gdbar = Vbar * loo                                # (mc*CB, Q)
+        tempbar = jnp.dot(gdbar.astype(jnp.bfloat16), oh_ref[:, d, :],
+                          preferred_element_type=f32)     # (mc*CB, r)
+        tb_cat = tempbar.reshape(mc, CBr)
+        Ubar_acc[d] += jax.lax.dot_general(
+            phi[:, d, :], tb_cat.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )                                                 # (n, CBr)
+        pre = gs[d] if pre is None else pre * gs[d]
+
+    # ---- parameter update (last data chunk only) ------------------------
+    @pl.when(j == Mch - 1)
+    def _update():
+        if langevin and tpu_prng:
+            pltpu.prng_seed(seed_ref[0, 0], c)
+
+        def noise_w():
+            return _normals((CB, Q)) if tpu_prng else nw_ref[0]
+
+        def noise_U(d):
+            return _normals((n, CB * r)) if tpu_prng else nU_ref[d, :, 0, :]
+
+        # Euclidean w: x <- x + eps*grad/2 + sqrt(eps)*xi, per-chain NaN reject
+        gradw = wbar_acc[...] - w / sigma_w2
+        w_new = w + 0.5 * eps_w * gradw
+        if langevin:
+            w_new = w_new + jnp.sqrt(eps_w) * noise_w()
+        ok_w = jnp.all(jnp.isfinite(w_new), axis=-1, keepdims=True)  # (CB, 1)
+        wout_ref[0] = jnp.where(ok_w, w_new, w)
+        rej = (~ok_w).astype(jnp.int32)                   # (CB, 1)
+
+        # Stiefel factors: project to tangent, polar-retract, NS-fused check.
+        sqeU = jnp.sqrt(eps_U)
+        row = jax.lax.broadcasted_iota(jnp.int32, (CBr, CBr), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (CBr, CBr), 1)
+        blockmask = (row // r) == (col // r)              # (CBr, CBr) bool
+        eye = (row == col).astype(f32)
+        rowcb = jax.lax.broadcasted_iota(jnp.int32, (CB, CBr), 0)
+        colcb = jax.lax.broadcasted_iota(jnp.int32, (CB, CBr), 1)
+        maskcb = rowcb == (colcb // r)                    # (CB, CBr) bool
+
+        for d in range(D):
+            Ucat = U_ref[d, :, 0, :]                      # (n, CBr)
+            G = 0.5 * sqeU * Ubar_acc[d]
+            if langevin:
+                G = G + noise_U(d)
+            # tangent projection: mom = G - U sym(U^T G), blockwise
+            F1 = jax.lax.dot_general(
+                Ucat, G, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=_HI,
+            )
+            S = jnp.where(blockmask, 0.5 * (F1 + F1.T), 0.0)
+            mom = G - jnp.dot(Ucat, S, preferred_element_type=f32,
+                              precision=_HI)
+            X = Ucat + sqeU * mom
+            # Newton–Schulz polar: X <- X (3I - X^T X)/2; first residual is
+            # the divergence signal (healthy ~ eps_U*||mom||^2, diverged >> 1)
+            err0 = None
+            for it in range(ns_iters):
+                F2 = jax.lax.dot_general(
+                    X, X, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=_HI,
+                )
+                F2m = jnp.where(blockmask, F2, 0.0)
+                if it == 0:
+                    err0 = jnp.abs(F2m - eye)             # (CBr, CBr)
+                B = 1.5 * eye - 0.5 * F2m
+                X = jnp.dot(X, B, preferred_element_type=f32, precision=_HI)
+
+            rowerr = jnp.max(err0, axis=1, keepdims=True)       # (CBr, 1)
+            # per-chain max, broadcast back to that chain's lanes
+            err_lane = jnp.max(jnp.where(blockmask, rowerr, 0.0),
+                               axis=0, keepdims=True)           # (1, CBr)
+            ok_lane = err_lane < orth_tol                       # NaN -> False
+            Uout_ref[d, :, 0, :] = jnp.where(ok_lane, X, Ucat)
+            err_cb = jnp.max(jnp.where(maskcb, rowerr[:, 0][None, :], 0.0),
+                             axis=1, keepdims=True)             # (CB, 1)
+            rej = rej + (~(err_cb < orth_tol)).astype(jnp.int32)
+
+        rej_ref[0] = rej
+
+
+def fused_sgld_step(
+    w3: jnp.ndarray,      # (NB, CB, Q) f32
+    U4: jnp.ndarray,      # (D, n, NB, CB*r) f32
+    phi_b: jnp.ndarray,   # (Mch, mc, D, n) bf16 — the minibatch features
+    y_b: jnp.ndarray,     # (Mch, mc, 1) f32
+    wts: jnp.ndarray,     # (Mch, mc, 1) f32
+    onehot: jnp.ndarray,  # (Q, D, r) bf16
+    onehotT: jnp.ndarray, # (r, D, Q) bf16
+    scalars: jnp.ndarray, # (1, 4) f32: [scale, eps_w, eps_U, unused]
+    seed: jnp.ndarray,    # (1, 1) int32
+    *,
+    r: int,
+    ns_iters: int = 1,
+    langevin: bool = True,
+    sigma_w2: float = 1.0,
+    signal_var: float = 1.0,
+    orth_tol: float = 0.3,
+    interpret: bool = False,
+    noise: tuple | None = None,
+):
+    """One fused SGLD transition for the whole fleet. Returns
+    ``(w3_new, U4_new, rejected (NB, CB, 1) int32)``.
+
+    ``noise=(nw (NB, CB, Q), nU (D, n, NB, CB*r))`` supplies the Langevin
+    normals as inputs instead of the in-kernel TPU PRNG — used on backends
+    without ``prng_seed`` support (interpret mode) and for deterministic
+    testing.
+    """
+    NB, CB, Q = w3.shape
+    D, n, NB2, CBr = U4.shape
+    Mch, mc, D2, n2 = phi_b.shape
+    assert NB == NB2 and D == D2 and n == n2 and CBr == CB * r
+    tpu_prng = noise is None
+
+    kernel = functools.partial(
+        _sgld_kernel, D, n, r, Q, CB, mc, Mch, ns_iters, langevin,
+        float(sigma_w2), float(signal_var), float(orth_tol), tpu_prng,
+    )
+    noise_specs = []
+    noise_args = []
+    if not tpu_prng and langevin:
+        noise_specs = [
+            pl.BlockSpec((1, CB, Q), lambda c, j: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, n, 1, CBr), lambda c, j: (0, 0, c, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        noise_args = [noise[0], noise[1]]
+    return pl.pallas_call(
+        kernel,
+        grid=(NB, Mch),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda c, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda c, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, mc, D, n), lambda c, j: (j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mc, 1), lambda c, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mc, 1), lambda c, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, D, r), lambda c, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, D, Q), lambda c, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CB, Q), lambda c, j: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, n, 1, CBr), lambda c, j: (0, 0, c, 0),
+                         memory_space=pltpu.VMEM),
+        ] + noise_specs,
+        out_specs=[
+            pl.BlockSpec((1, CB, Q), lambda c, j: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, n, 1, CBr), lambda c, j: (0, 0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CB, 1), lambda c, j: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NB, CB, Q), jnp.float32),
+            jax.ShapeDtypeStruct((D, n, NB, CBr), jnp.float32),
+            jax.ShapeDtypeStruct((NB, CB, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((CB, Q), jnp.float32),
+            pltpu.VMEM((D, n, CBr), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scalars, seed, phi_b, y_b, wts, onehot, onehotT, w3, U4, *noise_args)

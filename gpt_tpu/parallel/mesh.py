@@ -19,17 +19,23 @@ DATA_AXIS = "data"
 FEATURE_AXIS = "feature"
 
 
-def make_feature_mesh(feature: int | None = None, devices=None) -> Mesh:
+def make_feature_mesh(num_shards: int | None = None, devices=None) -> Mesh:
     """1-D mesh over the RFF feature axis (TP for full-theta n=8k–16k).
 
     The reference's largest no-tensor configs push the feature dimension to
     n = 8000–16000 (``kin40kNoTensorExperiment.jl:34-46``); θ and the columns
     of φ shard naturally over devices at that size (see
-    :mod:`gpt_tpu.parallel.tp`).
+    :mod:`gpt_tpu.parallel.tp`). ``num_shards`` is the number of DEVICES the
+    feature axis is split over (not the feature dimension itself); it must not
+    exceed the number of available devices.
     """
     devices = np.asarray(devices if devices is not None else jax.devices())
-    if feature is not None:
-        devices = devices[:feature]
+    if num_shards is not None:
+        if num_shards > devices.size:
+            raise ValueError(
+                f"num_shards={num_shards} exceeds {devices.size} available devices"
+            )
+        devices = devices[:num_shards]
     return Mesh(devices.reshape(-1), (FEATURE_AXIS,))
 
 

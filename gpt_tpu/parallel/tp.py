@@ -46,7 +46,9 @@ def _scalar_eps(config: SGLDConfig) -> float:
     eps = config.eps
     if hasattr(eps, "theta"):
         eps = eps.theta
-    if not isinstance(eps, (int, float)) and not jnp.isscalar(eps):
+    # accept python scalars AND 0-d arrays (jnp.isscalar is False for the
+    # latter); anything float() can't convert is a genuine type error
+    if not isinstance(eps, (int, float)) and jnp.ndim(eps) != 0:
         raise TypeError("TP full-theta SGLD needs a scalar eps (or params-prefix with .theta)")
     return float(eps)
 

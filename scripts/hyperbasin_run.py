@@ -155,7 +155,7 @@ def main():
         "pp_hyperlearning_exact_basin",
         {
             "init": "multi-restart (per-dim sharp + lognormal), f64 CPU, "
-            "2000-pt stage + full polish",
+            f"{len(sub1)}-pt stage + {len(sub2)}-pt probes + full polish",
             "signal_var": float(h[0]),
             "sigma_RBF2": float(h[1]),
             "length_scales": [float(v) for v in h[2:]],
