@@ -22,6 +22,7 @@ from gpt_tpu.inference.hyper import (
     StochasticEMConfig,
     gp_nlml,
     optimize_hyperparams,
+    optimize_hyperparams_restarts,
     rff_nlml,
     se_ard_kernel,
     stochastic_em,
@@ -50,6 +51,7 @@ __all__ = [
     "StochasticEMConfig",
     "gp_nlml",
     "optimize_hyperparams",
+    "optimize_hyperparams_restarts",
     "rff_nlml",
     "se_ard_kernel",
     "stochastic_em",

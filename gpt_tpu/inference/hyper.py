@@ -89,14 +89,25 @@ def optimize_hyperparams(
     *,
     max_steps: int = 100,
     tol: float = 1e-6,
+    log_bounds: tuple[float, float] | None = None,
 ) -> HyperOptResult:
     """Minimise ``nlml_fn(hyperparams)`` over positive hyperparams.
 
     Optimisation runs in log space (the reference's ``GPNT_hyperparameters_optim``
     trick, ``GPT_SGLD.jl:991-1002``) with optax L-BFGS; gradients from
     ``jax.grad`` replace the hand-derived ``GPNT_gradnlogmarginal``.
+
+    ``log_bounds=(lo, hi)`` box-constrains the log-hyperparameters by clipping
+    inside the objective — the role of NLopt MMA's box constraints in
+    ``GPNT_hyperparameters`` (``GPT_SGLD.jl:971-989``); essential near sharp
+    basins where unconstrained line searches step into Cholesky-breaking
+    regions. For f64 accuracy (the regime the reference's NLopt ran in, and
+    what the sharp PP basin needs — f32 Choleskys NaN there) enable
+    ``jax.config.update("jax_enable_x64", True)`` on CPU and pass f64 inputs.
     """
     def loss(log_h):
+        if log_bounds is not None:
+            log_h = jnp.clip(log_h, log_bounds[0], log_bounds[1])
         return nlml_fn(jnp.exp(log_h))
 
     opt = optax.lbfgs()
@@ -121,12 +132,78 @@ def optimize_hyperparams(
     log_h, _, delta, steps = jax.lax.while_loop(
         cond, step, (log0, state0, jnp.asarray(jnp.inf, log0.dtype), 0)
     )
+    if log_bounds is not None:
+        log_h = jnp.clip(log_h, log_bounds[0], log_bounds[1])
     return HyperOptResult(
         hyperparams=jnp.exp(log_h),
         nlml=loss(log_h),
         converged=delta <= tol,
         num_steps=steps,
     )
+
+
+def optimize_hyperparams_restarts(
+    nlml_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    init: jnp.ndarray,
+    key: jax.Array | None = None,
+    *,
+    num_random: int = 4,
+    sharp_dims: range | list | None = None,
+    sharp_value: float = 0.01,
+    random_sd: float = 1.5,
+    max_steps: int = 100,
+    tol: float = 1e-6,
+    log_bounds: tuple[float, float] = (-8.0, 5.0),
+) -> HyperOptResult:
+    """Box-constrained multi-restart NLML optimisation — the library form of
+    the staged basin search that recovers the reference's PP optimum
+    (NLML −2239.26 vs the logged −2239.2, ``DataRecords.txt:837-840``;
+    see ``scripts/hyperbasin_run.py`` for the full large-N staged recipe).
+
+    Restart set: the caller's ``init``; per-dimension *sharp probes* with
+    ``init`` but length-scale d set to ``sharp_value`` (sharp basins like the
+    reference's ℓ₂ ≈ 0.003 are invisible to flat inits — each dimension gets
+    its own descent); and ``num_random`` lognormal perturbations of the
+    length-scales. Hyperparameter layout follows ``hyperbasin_run``:
+    ``[signal_var, sigma_RBF2, ℓ_1..ℓ_D]`` — ``sharp_dims`` indexes the ℓ
+    block (default: all of it; pass ``[]`` to disable probes).
+
+    Returns the best-NLML :class:`HyperOptResult` across restarts (non-finite
+    results discarded; falls back to the plain single-start result if every
+    restart diverges).
+    """
+    import numpy as np
+
+    init = jnp.asarray(init)
+    D = init.shape[0] - 2
+    if sharp_dims is None:
+        sharp_dims = range(D)
+    inits = [init]
+    for d in sharp_dims:
+        probe = np.asarray(init).copy()
+        probe[2 + d] = sharp_value
+        inits.append(jnp.asarray(probe))
+    if num_random > 0:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        for i in range(num_random):
+            kf = jax.random.fold_in(key, i)
+            pert = jnp.exp(random_sd * jax.random.normal(kf, (D,), init.dtype))
+            inits.append(jnp.concatenate([init[:2], init[2:] * pert]))
+
+    best = None
+    for h0 in inits:
+        res = optimize_hyperparams(
+            nlml_fn, h0, max_steps=max_steps, tol=tol, log_bounds=log_bounds
+        )
+        val = float(res.nlml)
+        if np.isfinite(val) and (best is None or val < float(best.nlml)):
+            best = res
+    if best is None:  # every restart diverged — surface the plain result
+        best = optimize_hyperparams(
+            nlml_fn, init, max_steps=max_steps, tol=tol, log_bounds=log_bounds
+        )
+    return best
 
 
 @dataclasses.dataclass(frozen=True)

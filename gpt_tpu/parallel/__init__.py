@@ -10,6 +10,11 @@ from gpt_tpu.parallel.chains import (
     cross_chain_moments,
 )
 from gpt_tpu.parallel.tp import run_sgld_tp
+from gpt_tpu.parallel.distributed import (
+    initialize_distributed,
+    make_host_mesh,
+    process_local_chains,
+)
 
 __all__ = [
     "make_mesh",
@@ -20,4 +25,7 @@ __all__ = [
     "run_sharded_chains",
     "cross_chain_moments",
     "run_sgld_tp",
+    "initialize_distributed",
+    "make_host_mesh",
+    "process_local_chains",
 ]

@@ -201,3 +201,46 @@ def test_columnwise_gibbs_recovers(synth):
     post = float(rmse(preds.mean(0), y))
     prior = float(rmse(jnp.zeros_like(y), y))
     assert post < 0.5 * prior, (post, prior)
+
+
+def test_multirestart_finds_sharp_basin(key):
+    """Box-constrained multi-restart (the PP-optimum recovery machinery,
+    RECORDS `pp_hyperlearning_exact_basin`: NLML -2239.26 vs reference
+    -2239.2) escapes the smooth basin a flat single start gets stuck in.
+
+    Synthetic analog of the reference's sharp PP basin
+    (`DataRecords.txt:837-840`: recovered ls2 = 0.0028): one ARD dimension
+    carries fast variation (true ls = 0.05) that a flat ls = 1 init explains
+    away as noise.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gpt_tpu.inference import gp_nlml, optimize_hyperparams
+    from gpt_tpu.inference.hyper import optimize_hyperparams_restarts
+
+    kx, kf, kn = jax.random.split(key, 3)
+    N, D = 120, 2
+    X = jax.random.uniform(kx, (N, D), jnp.float64)
+    true_ls = jnp.asarray([1.0, 0.02], jnp.float64)
+    from gpt_tpu.inference import se_ard_kernel
+
+    K = se_ard_kernel(X, X, true_ls, 1.0) + 1e-4 * jnp.eye(N)
+    y = jnp.linalg.cholesky(K) @ jax.random.normal(kf, (N,), jnp.float64)
+
+    def nlml(h):
+        return gp_nlml(X, y, h[0], h[1], h[2:])
+
+    # deceptive init: moderate noise + a long ls on the fast dimension makes
+    # the smooth explain-it-as-noise basin the local attractor (measured:
+    # single start lands at NLML +147 / ls2 = 0.48 / noise 0.6)
+    init = jnp.asarray([0.5, 1.0, 1.0, 5.0], jnp.float64)
+    flat = optimize_hyperparams(nlml, init, max_steps=60, log_bounds=(-8.0, 5.0))
+    multi = optimize_hyperparams_restarts(
+        nlml, init, key, num_random=2, sharp_value=0.03, max_steps=60
+    )
+    # the sharp restart must find the fast dimension and beat the flat start
+    assert float(multi.nlml) < float(flat.nlml) - 10.0
+    assert float(jnp.min(multi.hyperparams[2:])) < 0.15
+    # recovered noise must be small (flat basin absorbs signal into noise)
+    assert float(multi.hyperparams[0]) < 0.05
