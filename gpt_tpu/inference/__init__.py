@@ -17,6 +17,7 @@ from gpt_tpu.inference.cf_sgld import run_cf_sgld_thresh, inclusion_probabilitie
 from gpt_tpu.inference.ep import EPPosterior, EPState, fit_ep, predict_ep
 from gpt_tpu.inference.vi import VIConfig, VIState, init_vi, run_vi, vi_step
 from gpt_tpu.inference.hmc import HMCConfig, run_adaptive_hmc
+from gpt_tpu.inference.nuts import NUTSConfig, run_nuts
 from gpt_tpu.inference.parafac import parafac_posterior_mean, parafac_predict
 from gpt_tpu.inference.hyper import (
     StochasticEMConfig,
@@ -50,6 +51,8 @@ __all__ = [
     "init_gibbs_params",
     "StochasticEMConfig",
     "gp_nlml",
+    "NUTSConfig",
+    "run_nuts",
     "optimize_hyperparams",
     "optimize_hyperparams_restarts",
     "rff_nlml",

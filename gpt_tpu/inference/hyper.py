@@ -225,7 +225,7 @@ class StochasticEMConfig:
     m_lr: float = 0.05
     max_rounds: int = 50
     tol: float = 1e-7  # ‖Δhyper‖ convergence (GPT_SGLD.jl:1028)
-    e_engine: str = "sgld"  # "sgld" | "hmc"
+    e_engine: str = "sgld"  # "sgld" | "hmc" | "nuts"
     e_hmc_warmup: int = 10  # dual-averaging warmup transitions per E-step
     e_hmc_leapfrog: int = 8
     e_hmc_step: float = 0.05  # initial leapfrog step size (adapted per round)
@@ -267,6 +267,21 @@ def stochastic_em(
                 num_warmup=config.e_hmc_warmup,
                 num_samples=config.e_steps,
                 config=hmc_cfg,
+            )
+            return jax.tree.map(lambda s: s[-1], samples)
+    elif config.e_engine == "nuts":
+        from gpt_tpu.inference.nuts import NUTSConfig, run_nuts
+
+        nuts_cfg = NUTSConfig(init_step_size=config.e_hmc_step)
+
+        def e_step(theta, h, k):
+            # dynamic-trajectory E-step — the exact capability of the
+            # reference's Mamba-NUTS EM loops (ImageExperiment.jl:223-283)
+            samples, _, _ = run_nuts(
+                lambda th: -neg_log_joint(th, h), theta, k,
+                num_warmup=config.e_hmc_warmup,
+                num_samples=config.e_steps,
+                config=nuts_cfg,
             )
             return jax.tree.map(lambda s: s[-1], samples)
     elif config.e_engine == "sgld":
