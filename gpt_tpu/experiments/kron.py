@@ -86,6 +86,7 @@ def run_tensor2d_kron(
     m: int = 100,
     burnin: int = 50,
     maxepoch: int = 100,
+    adapt_eps: bool = False,
 ) -> RegressionRun:
     """SGLD on the Tensor2D model over indexed Kronecker features.
 
@@ -106,7 +107,12 @@ def run_tensor2d_kron(
         gather_features(problem.factor1, problem.ind1_test),
         gather_features(problem.factor2, problem.ind2_test),
     )
-    cfg = SGLDConfig(eps=Tensor2DParams(U=epsU, V=epsU, w=epsw))
+    # adapt_eps: the cross-chain/step backoff that auto-recovers configs like
+    # the temperature-scale run that logged 53,994 rejections and RMSE=inf at
+    # PP-size step sizes before hand-retuning (RECORDS.jsonl
+    # temperature_kron_synthetic_scale) — see SGLDConfig.adapt_eps.
+    cfg = SGLDConfig(eps=Tensor2DParams(U=epsU, V=epsU, w=epsw),
+                     adapt_eps=adapt_eps)
     collect = lambda p: model.predict(p, phi_test)
     final, fhat = run_sgld(
         model, params0, ks, phi_train, problem.y_train,

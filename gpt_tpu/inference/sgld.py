@@ -56,6 +56,18 @@ class SGLDConfig:
     rmsprop: bool = False
     rmsprop_alpha: float = 0.99
     rmsprop_lambda: float = 1e-5
+    # Cross-chain step-size adaptation (SURVEY §2.9 "cross-chain moment/
+    # step-size adaptation"): a FLEET-SHARED multiplier η on eps that halves
+    # whenever any chain rejects a step (NaN / off-manifold divergence) and
+    # creeps back up after `adapt_patience` consecutive clean fleet steps,
+    # capped at 1 — so a stable run is BITWISE identical to fixed-eps, while
+    # a diverging config (e.g. the temperature-Kron ε=1e-6 run that logged
+    # 53,994 rejections and ∞ RMSE before hand-retuning) self-recovers.
+    adapt_eps: bool = False
+    adapt_down: float = 0.5
+    adapt_up: float = 1.05
+    adapt_patience: int = 50
+    adapt_floor: float = 1e-4  # lower bound on η
 
 
 class SGLDState(NamedTuple):
@@ -64,6 +76,9 @@ class SGLDState(NamedTuple):
     step: jnp.ndarray  # scalar int32 — global step counter (for decay)
     rejected: jnp.ndarray  # scalar int32 — NaN-rejected transport count
     precond: Any  # RMSprop second-moment accumulator (or None-like zeros)
+    # cross-chain adaptation state (fleet-shared; 1.0 / 0 when disabled)
+    eta: jnp.ndarray = jnp.float32(1.0)  # step-size multiplier on eps
+    stable: jnp.ndarray = jnp.int32(0)  # consecutive clean fleet steps
 
 
 def _broadcast_eps(eps, params):
@@ -99,6 +114,8 @@ def sgld_init(params, key, config: SGLDConfig) -> SGLDState:
         step=jnp.zeros((), jnp.int32),
         rejected=jnp.zeros((), jnp.int32),
         precond=precond,
+        eta=jnp.ones((), jnp.float32),
+        stable=jnp.zeros((), jnp.int32),
     )
 
 
@@ -126,6 +143,8 @@ def make_sgld_step(
         eps = _broadcast_eps(eps_tree, state.params)
         t = state.step.astype(jnp.float32) + 1.0
         decay_factor = t ** (-config.decay) if config.decay else 1.0
+        if config.adapt_eps:
+            decay_factor = decay_factor * state.eta
 
         # RMSprop preconditioner (GPT_SGLD.jl:1121-1237): per-element
         # G ← αG + (1−α)g²; step scale 1/(λ+√G). For Stiefel leaves the
@@ -236,12 +255,30 @@ def make_sgld_step(
                 )
 
         new_params = jax.tree.unflatten(treedef, new_leaves)
+        eta, stable = state.eta, state.stable
+        if config.adapt_eps:
+            # fleet-shared backoff: any rejection this step halves η; after
+            # adapt_patience consecutive clean steps η creeps back (cap 1).
+            # Under this state's scope "fleet" = every chain whose rejections
+            # land in this state's counter (the whole fleet for chain-batched
+            # runners; per-chain under vmap — runners that shard chains
+            # re-reduce and re-broadcast η across the mesh).
+            clean = (rejected - state.rejected) == 0
+            stable = jnp.where(clean, state.stable + 1, 0)
+            grown = jnp.minimum(eta * config.adapt_up, 1.0)
+            eta = jnp.where(
+                ~clean,
+                jnp.maximum(eta * config.adapt_down, config.adapt_floor),
+                jnp.where(stable >= config.adapt_patience, grown, eta),
+            )
         return SGLDState(
             params=new_params,
             key=key,
             step=state.step + 1,
             rejected=rejected,
             precond=new_precond,
+            eta=eta,
+            stable=stable,
         )
 
     return step
@@ -474,12 +511,16 @@ def run_sgld_megafused(
 
     def to_internal(p):
         w3 = p.w.reshape(NB, CB, Q)
-        U4 = jnp.transpose(p.U, (1, 2, 0, 3)).reshape(D, n, NB, CB * r)
+        U4 = jnp.transpose(
+            p.U.reshape(NB, CB, D, n, r), (0, 2, 3, 1, 4)
+        ).reshape(NB, D, n, CB * r)
         return w3, U4
 
     def to_canonical(w3, U4):
         w = w3.reshape(C, Q)
-        U = jnp.transpose(U4.reshape(D, n, C, r), (2, 0, 1, 3))
+        U = jnp.transpose(
+            U4.reshape(NB, D, n, CB, r), (0, 3, 1, 2, 4)
+        ).reshape(C, D, n, r)
         return params_cls(w=w, U=U)
 
     w3_0, U4_0 = to_internal(params0_chains)
@@ -510,7 +551,7 @@ def run_sgld_megafused(
             k1, k2 = jax.random.split(kn)
             noise = (
                 jax.random.normal(k1, (NB, CB, Q), jnp.float32),
-                jax.random.normal(k2, (D, n, NB, CB * r), jnp.float32),
+                jax.random.normal(k2, (NB, D, n, CB * r), jnp.float32),
             )
         w3n, U4n, rej = fused_sgld_step(
             w3, U4, phi_b, y_b, wts_b, onehot, onehotT, scalars, seed,

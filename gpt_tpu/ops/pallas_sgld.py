@@ -59,12 +59,16 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _normals(shape):
-    """Standard normals via in-kernel PRNG bits + Box–Muller (cos branch)."""
-    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    # 24 high bits -> u1 in (0, 1] (log-safe), u2 in [0, 1)
-    u1 = (b1 >> 8).astype(jnp.float32) * (1.0 / 16777216.0) + (0.5 / 16777216.0)
-    u2 = (b2 >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+    """Standard normals via in-kernel PRNG bits + Box–Muller (cos branch).
+
+    Bits are masked to 24 via int32 ops (Mosaic has no uint32->f32 cast)."""
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    # low 24 bits -> u1 in (0, 1] (log-safe), u2 in [0, 1)
+    u1 = (b1 & 0xFFFFFF).astype(jnp.float32) * (1.0 / 16777216.0) + (
+        0.5 / 16777216.0
+    )
+    u2 = (b2 & 0xFFFFFF).astype(jnp.float32) * (1.0 / 16777216.0)
     rad = jnp.sqrt(-2.0 * jnp.log(u1))
     return rad * jnp.cos((2.0 * math.pi) * u2)
 
@@ -104,7 +108,7 @@ def _sgld_kernel(
     gs = []
     V = None
     for d in range(D):
-        Ucat = U_ref[d, :, 0, :]                          # (n, CBr) f32
+        Ucat = U_ref[0, d]                                # (n, CBr) f32
         temp = jnp.dot(phi[:, d, :], Ucat.astype(jnp.bfloat16),
                        preferred_element_type=f32)        # (mc, CBr)
         temp2 = temp.reshape(mc * CB, r)                  # rows (i, c)-major
@@ -157,7 +161,7 @@ def _sgld_kernel(
             return _normals((CB, Q)) if tpu_prng else nw_ref[0]
 
         def noise_U(d):
-            return _normals((n, CB * r)) if tpu_prng else nU_ref[d, :, 0, :]
+            return _normals((n, CB * r)) if tpu_prng else nU_ref[0, d]
 
         # Euclidean w: x <- x + eps*grad/2 + sqrt(eps)*xi, per-chain NaN reject
         gradw = wbar_acc[...] - w / sigma_w2
@@ -179,7 +183,7 @@ def _sgld_kernel(
         maskcb = rowcb == (colcb // r)                    # (CB, CBr) bool
 
         for d in range(D):
-            Ucat = U_ref[d, :, 0, :]                      # (n, CBr)
+            Ucat = U_ref[0, d]                            # (n, CBr)
             G = 0.5 * sqeU * Ubar_acc[d]
             if langevin:
                 G = G + noise_U(d)
@@ -211,7 +215,7 @@ def _sgld_kernel(
             err_lane = jnp.max(jnp.where(blockmask, rowerr, 0.0),
                                axis=0, keepdims=True)           # (1, CBr)
             ok_lane = err_lane < orth_tol                       # NaN -> False
-            Uout_ref[d, :, 0, :] = jnp.where(ok_lane, X, Ucat)
+            Uout_ref[0, d] = jnp.where(ok_lane, X, Ucat)
             err_cb = jnp.max(jnp.where(maskcb, rowerr[:, 0][None, :], 0.0),
                              axis=1, keepdims=True)             # (CB, 1)
             rej = rej + (~(err_cb < orth_tol)).astype(jnp.int32)
@@ -221,7 +225,7 @@ def _sgld_kernel(
 
 def fused_sgld_step(
     w3: jnp.ndarray,      # (NB, CB, Q) f32
-    U4: jnp.ndarray,      # (D, n, NB, CB*r) f32
+    U4: jnp.ndarray,      # (NB, D, n, CB*r) f32
     phi_b: jnp.ndarray,   # (Mch, mc, D, n) bf16 — the minibatch features
     y_b: jnp.ndarray,     # (Mch, mc, 1) f32
     wts: jnp.ndarray,     # (Mch, mc, 1) f32
@@ -248,7 +252,7 @@ def fused_sgld_step(
     testing.
     """
     NB, CB, Q = w3.shape
-    D, n, NB2, CBr = U4.shape
+    NB2, D, n, CBr = U4.shape
     Mch, mc, D2, n2 = phi_b.shape
     assert NB == NB2 and D == D2 and n == n2 and CBr == CB * r
     tpu_prng = noise is None
@@ -263,7 +267,7 @@ def fused_sgld_step(
         noise_specs = [
             pl.BlockSpec((1, CB, Q), lambda c, j: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, n, 1, CBr), lambda c, j: (0, 0, c, 0),
+            pl.BlockSpec((1, D, n, CBr), lambda c, j: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         noise_args = [noise[0], noise[1]]
@@ -285,20 +289,20 @@ def fused_sgld_step(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, CB, Q), lambda c, j: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, n, 1, CBr), lambda c, j: (0, 0, c, 0),
+            pl.BlockSpec((1, D, n, CBr), lambda c, j: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + noise_specs,
         out_specs=[
             pl.BlockSpec((1, CB, Q), lambda c, j: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, n, 1, CBr), lambda c, j: (0, 0, c, 0),
+            pl.BlockSpec((1, D, n, CBr), lambda c, j: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, CB, 1), lambda c, j: (c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((NB, CB, Q), jnp.float32),
-            jax.ShapeDtypeStruct((D, n, NB, CBr), jnp.float32),
+            jax.ShapeDtypeStruct((NB, D, n, CBr), jnp.float32),
             jax.ShapeDtypeStruct((NB, CB, 1), jnp.int32),
         ],
         scratch_shapes=[

@@ -146,7 +146,17 @@ def run_sharded_chains(
         wts = wts_all.reshape(B, m)
 
         def batch_body(s, b):
-            return step(s, phi_pad[idx[b]], y_pad[idx[b]], wts[b]), None
+            s = step(s, phi_pad[idx[b]], y_pad[idx[b]], wts[b])
+            if config.adapt_eps:
+                # fleet coupling: the most conservative chain's step scale
+                # wins everywhere (an all-reduce over the mesh chain axis
+                # under jit) — one diverging chain backs the whole fleet off,
+                # matching the globally-agreed rejection style of the TP path.
+                s = s._replace(
+                    eta=jnp.broadcast_to(jnp.min(s.eta), s.eta.shape),
+                    stable=jnp.broadcast_to(jnp.min(s.stable), s.stable.shape),
+                )
+            return s, None
 
         st, _ = jax.lax.scan(batch_body, st, jnp.arange(B))
         return st, jax.vmap(collect_fn)(st.params)
