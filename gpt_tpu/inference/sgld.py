@@ -76,9 +76,12 @@ class SGLDState(NamedTuple):
     step: jnp.ndarray  # scalar int32 — global step counter (for decay)
     rejected: jnp.ndarray  # scalar int32 — NaN-rejected transport count
     precond: Any  # RMSprop second-moment accumulator (or None-like zeros)
-    # cross-chain adaptation state (fleet-shared; 1.0 / 0 when disabled)
-    eta: jnp.ndarray = jnp.float32(1.0)  # step-size multiplier on eps
-    stable: jnp.ndarray = jnp.int32(0)  # consecutive clean fleet steps
+    # cross-chain adaptation state (fleet-shared; 1.0 / 0 when disabled).
+    # Defaults are PYTHON scalars: a jnp default here would create a device
+    # array at import time and initialise the XLA backend before
+    # jax.distributed.initialize / platform selection can run.
+    eta: Any = 1.0  # step-size multiplier on eps
+    stable: Any = 0  # consecutive clean fleet steps
 
 
 def _broadcast_eps(eps, params):

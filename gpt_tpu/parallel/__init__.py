@@ -10,6 +10,11 @@ from gpt_tpu.parallel.chains import (
     cross_chain_moments,
 )
 from gpt_tpu.parallel.tp import run_sgld_tp
+from gpt_tpu.parallel.fleet import (
+    run_chain_fleet,
+    run_gibbs_fleet,
+    run_gmc_fleet,
+)
 from gpt_tpu.parallel.distributed import (
     initialize_distributed,
     make_host_mesh,
@@ -25,6 +30,9 @@ __all__ = [
     "run_sharded_chains",
     "cross_chain_moments",
     "run_sgld_tp",
+    "run_chain_fleet",
+    "run_gibbs_fleet",
+    "run_gmc_fleet",
     "initialize_distributed",
     "make_host_mesh",
     "process_local_chains",

@@ -1,0 +1,116 @@
+"""Sharded chain fleets for the non-SGLD samplers (L4).
+
+The reference ran Gibbs and GMC workloads as ``@parallel`` seed sweeps just
+like SGLD (``100k_movielensExperiment.jl:733`` fold-parallel Gibbs,
+``kin40kExperiment.jl:67``); the TPU-native form is identical for every
+sampler: vmap chains within a device, shard the chain axis over the mesh.
+These wrappers give Gibbs / columnwise-Gibbs / CF-Gibbs / GMC the same
+multi-device story ``run_sharded_chains`` gives SGLD.
+
+Chains are fully independent here (full-batch conjugate sweeps / full-batch
+Hamiltonians — no data axis), so the only collective is the implicit
+all-gather when results are pulled; cross-chain statistics go through
+``cross_chain_moments`` as usual.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from gpt_tpu.parallel.mesh import CHAIN_AXIS
+
+
+def run_chain_fleet(mesh, run_one: Callable, params0_chains, keys):
+    """Shard a vmapped single-chain runner over the mesh chain axis.
+
+    ``run_one(params, key) -> pytree`` is any single-chain sampler run;
+    ``params0_chains``/``keys`` carry a leading chain axis that is laid out
+    over ``mesh``'s chain axis (other mesh axes, if any, hold replicas).
+    """
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(CHAIN_AXIS), P(CHAIN_AXIS)),
+        out_specs=P(CHAIN_AXIS),
+        check_vma=False,
+    )
+    def fleet(p, k):
+        return jax.vmap(run_one)(p, k)
+
+    return fleet(params0_chains, keys)
+
+
+def run_gibbs_fleet(
+    model,
+    mesh,
+    key: jax.Array,
+    phi: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    num_chains: int,
+    num_iterations: int,
+    burnin: int,
+    config=None,
+    columnwise: bool = False,
+):
+    """Sharded fleet of conjugate Gibbs chains (``TGP.GPT_inf`` sweeps).
+
+    Returns ``(final_params, collected)`` with leading chain axes.
+    """
+    from gpt_tpu.inference.gibbs import GibbsConfig, init_gibbs_params, run_gibbs
+
+    config = config if config is not None else GibbsConfig()
+    kp, ks = jax.random.split(key)
+    params0 = jax.vmap(lambda k: init_gibbs_params(model, k, dtype=phi.dtype))(
+        jax.random.split(kp, num_chains)
+    )
+    keys = jax.random.split(ks, num_chains)
+
+    def run_one(p, k):
+        return run_gibbs(
+            model, p, k, phi, y,
+            num_iterations=num_iterations, burnin=burnin, config=config,
+            columnwise=columnwise,
+        )
+
+    return run_chain_fleet(mesh, run_one, params0, keys)
+
+
+def run_gmc_fleet(
+    model,
+    mesh,
+    key: jax.Array,
+    phi: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    num_chains: int,
+    config,
+    burnin: int,
+    maxepoch: int,
+):
+    """Sharded fleet of geodesic-MC chains (``GPT_GMC`` seed sweeps).
+
+    Returns ``(final_params, collected, accept_probs[, eta_bar])`` with
+    leading chain axes (``eta_bar`` present iff ``config.adapt_step_size``).
+    """
+    from gpt_tpu.inference.gmc import run_gmc
+
+    kp, ks = jax.random.split(key)
+    params0 = jax.vmap(model.init_params)(jax.random.split(kp, num_chains))
+    params0 = jax.tree.map(lambda a: a.astype(phi.dtype), params0)
+    keys = jax.random.split(ks, num_chains)
+
+    def run_one(p, k):
+        return run_gmc(
+            model, p, k, phi, y, config=config, burnin=burnin,
+            maxepoch=maxepoch,
+        )
+
+    return run_chain_fleet(mesh, run_one, params0, keys)

@@ -106,3 +106,82 @@ def test_cross_chain_moments():
     mean, var = cross_chain_moments(samples)
     np.testing.assert_allclose(mean, jnp.ones((10, 3)))
     np.testing.assert_allclose(var, jnp.ones((10, 3)))
+
+
+def test_gibbs_fleet_matches_unsharded():
+    """Sharded Gibbs fleet (the reference's fold-parallel Gibbs sweeps,
+    100k_movielensExperiment.jl:733) == vmapped unsharded chains exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpt_tpu.inference.gibbs import GibbsConfig, init_gibbs_params, run_gibbs
+    from gpt_tpu.models import TensorGP, sample_core_indices
+    from gpt_tpu.parallel import make_mesh, run_gibbs_fleet
+
+    key = jax.random.PRNGKey(7)
+    kI, kd, kr, kf = jax.random.split(key, 4)
+    n, r, D, Q, N = 8, 2, 2, 4, 40
+    I = sample_core_indices(kI, r, D, Q)
+    model = TensorGP(n=n, r=r, D=D, I=I, signal_var=0.1)
+    phi = jax.random.normal(kd, (N, D, n)) / jnp.sqrt(n)
+    y = jax.random.normal(kr, (N,))
+
+    mesh = make_mesh(chain=4, data=2)
+    final, collected = run_gibbs_fleet(
+        model, mesh, kf, phi, y, num_chains=8, num_iterations=5, burnin=2,
+    )
+    assert collected.w.shape[0] == 8
+
+    # unsharded reference with the same key schedule
+    kp, ks = jax.random.split(kf)
+    params0 = jax.vmap(lambda k: init_gibbs_params(model, k, dtype=phi.dtype))(
+        jax.random.split(kp, 8)
+    )
+    keys = jax.random.split(ks, 8)
+    ref_final, ref_collected = jax.vmap(
+        lambda p, k: run_gibbs(model, p, k, phi, y, num_iterations=5, burnin=2)
+    )(params0, keys)
+    np.testing.assert_allclose(
+        np.asarray(collected.w), np.asarray(ref_collected.w), atol=1e-5
+    )
+
+
+def test_gmc_fleet_matches_unsharded():
+    """Sharded GMC fleet == vmapped unsharded chains exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpt_tpu.inference import GMCConfig
+    from gpt_tpu.inference.gmc import run_gmc
+    from gpt_tpu.models import TensorGP, sample_core_indices
+    from gpt_tpu.parallel import make_mesh, run_gmc_fleet
+
+    key = jax.random.PRNGKey(9)
+    kI, kd, kr, kf = jax.random.split(key, 4)
+    n, r, D, Q, N = 8, 2, 2, 4, 30
+    I = sample_core_indices(kI, r, D, Q)
+    model = TensorGP(n=n, r=r, D=D, I=I, signal_var=0.1, precision="highest")
+    phi = jax.random.normal(kd, (N, D, n)) / jnp.sqrt(n)
+    y = jax.random.normal(kr, (N,))
+    cfg = GMCConfig(eps=1e-5, num_leapfrog=3)
+
+    mesh = make_mesh(chain=8, data=1)
+    final, collected, accs = run_gmc_fleet(
+        model, mesh, kf, phi, y, num_chains=8, config=cfg, burnin=1, maxepoch=3,
+    )
+    assert collected.w.shape[:2] == (8, 3)
+    assert accs.shape == (8, 4)
+
+    kp, ks = jax.random.split(kf)
+    params0 = jax.vmap(model.init_params)(jax.random.split(kp, 8))
+    params0 = jax.tree.map(lambda a: a.astype(phi.dtype), params0)
+    keys = jax.random.split(ks, 8)
+    _, ref_collected, ref_accs = jax.vmap(
+        lambda p, k: run_gmc(model, p, k, phi, y, config=cfg, burnin=1, maxepoch=3)
+    )(params0, keys)
+    np.testing.assert_allclose(np.asarray(accs), np.asarray(ref_accs), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(collected.w), np.asarray(ref_collected.w), atol=1e-4
+    )
