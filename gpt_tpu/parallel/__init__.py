@@ -1,6 +1,7 @@
 from gpt_tpu.parallel.mesh import (
     make_mesh,
     make_feature_mesh,
+    make_chain_feature_mesh,
     chain_sharding,
     replicated_sharding,
 )
@@ -9,7 +10,7 @@ from gpt_tpu.parallel.chains import (
     run_sharded_chains,
     cross_chain_moments,
 )
-from gpt_tpu.parallel.tp import run_sgld_tp
+from gpt_tpu.parallel.tp import run_sgld_tp, run_sgld_tp_chains
 from gpt_tpu.parallel.fleet import (
     run_chain_fleet,
     run_gibbs_fleet,
@@ -24,12 +25,14 @@ from gpt_tpu.parallel.distributed import (
 __all__ = [
     "make_mesh",
     "make_feature_mesh",
+    "make_chain_feature_mesh",
     "chain_sharding",
     "replicated_sharding",
     "make_multichip_sgld_step",
     "run_sharded_chains",
     "cross_chain_moments",
     "run_sgld_tp",
+    "run_sgld_tp_chains",
     "run_chain_fleet",
     "run_gibbs_fleet",
     "run_gmc_fleet",

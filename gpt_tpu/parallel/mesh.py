@@ -39,6 +39,18 @@ def make_feature_mesh(num_shards: int | None = None, devices=None) -> Mesh:
     return Mesh(devices.reshape(-1), (FEATURE_AXIS,))
 
 
+def make_chain_feature_mesh(chain: int, feature: int, devices=None) -> Mesh:
+    """``(chain, feature)`` mesh: independent chains x feature-sharded θ
+    within each chain (for :func:`gpt_tpu.parallel.run_sgld_tp_chains`)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if chain * feature > devices.size:
+        raise ValueError(f"mesh {chain}x{feature} needs more than {devices.size} devices")
+    return Mesh(
+        devices[: chain * feature].reshape(chain, feature),
+        (CHAIN_AXIS, FEATURE_AXIS),
+    )
+
+
 def make_mesh(
     chain: int | None = None,
     data: int = 1,

@@ -39,7 +39,7 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from gpt_tpu.inference.sgld import SGLDConfig, _pad_data, _epoch_batches
-from gpt_tpu.parallel.mesh import FEATURE_AXIS
+from gpt_tpu.parallel.mesh import CHAIN_AXIS, FEATURE_AXIS
 
 
 def _scalar_eps(config: SGLDConfig) -> float:
@@ -77,8 +77,6 @@ def run_sgld_tp(
     collection thinned to post-burnin epoch ends. Outputs keep their feature
     sharding (device-resident); index/transfer as needed.
     """
-    if config.rmsprop:
-        raise NotImplementedError("RMSprop TP is not implemented")
     n = phi.shape[1]
     shards = mesh.shape[FEATURE_AXIS]
     n_pad = -(-n // shards) * shards
@@ -117,7 +115,7 @@ def run_sgld_tp(
         theta0 = jax.lax.dynamic_slice(theta_full0, (ax * n_local,), (n_local,))
 
         def batch_body(carry, b_idx):
-            theta, kn, t, rej = carry
+            theta, G, kn, t, rej = carry
             idx, wts = b_idx
             kn, sub = jax.random.split(kn)
             phi_b = phi_local[idx]  # (m, n_local)
@@ -127,15 +125,25 @@ def run_sgld_tp(
             g = resid_scale * (phi_b.T @ resid) - theta / st2
             tf = t.astype(phi_b.dtype) + 1.0
             e_t = eps0 * tf ** (-decay) if decay else jnp.asarray(eps0, phi_b.dtype)
-            newt = theta + e_t * g / 2
+            if config.rmsprop:
+                # per-coordinate preconditioner is shard-local (θ is
+                # feature-sharded, G shards with it) — no extra collectives
+                G = config.rmsprop_alpha * G + (1 - config.rmsprop_alpha) * g * g
+                scale = 1.0 / (config.rmsprop_lambda + jnp.sqrt(G))
+                drift = e_t * scale * g / 2
+                noise_scale = jnp.sqrt(e_t * scale)
+            else:
+                drift = e_t * g / 2
+                noise_scale = jnp.sqrt(e_t)
+            newt = theta + drift
             if langevin:
-                newt = newt + jnp.sqrt(e_t) * jax.random.normal(
+                newt = newt + noise_scale * jax.random.normal(
                     sub, theta.shape, theta.dtype
                 )
             bad_local = (~jnp.all(jnp.isfinite(newt))).astype(jnp.int32)
             bad = jax.lax.psum(bad_local, FEATURE_AXIS) > 0
             theta = jnp.where(bad, theta, newt)
-            return (theta, kn, t + 1, rej + bad.astype(jnp.int32)), None
+            return (theta, G, kn, t + 1, rej + bad.astype(jnp.int32)), None
 
         def epoch_body(carry, e):
             kp = jax.random.fold_in(kperm, e)
@@ -143,11 +151,137 @@ def run_sgld_tp(
             carry, _ = jax.lax.scan(batch_body, carry, (idx, wts))
             return carry, carry[0]
 
-        carry0 = (theta0, knoise, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-        (theta, _, _, rej), collected = jax.lax.scan(
+        carry0 = (theta0, jnp.zeros_like(theta0), knoise,
+                  jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        (theta, _, _, _, rej), collected = jax.lax.scan(
             epoch_body, carry0, jnp.arange(epochs)
         )
         return theta, collected, rej
 
     theta, collected, rejected = jax.jit(run)(key, phi_data_pad, y_pad)
     return theta[:n], collected[burnin:, :n], rejected
+
+
+def run_sgld_tp_chains(
+    model,
+    mesh,
+    key: jax.Array,
+    phi: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    num_chains: int,
+    m: int,
+    config: SGLDConfig,
+    burnin: int,
+    maxepoch: int,
+):
+    """TP x chain composition: many full-theta chains, each feature-sharded,
+    over a ``(chain, feature)`` mesh.
+
+    The reference's biggest no-tensor runs pair large n (8000-16000,
+    ``kin40kNoTensorExperiment.jl:34-46``) with seed sweeps — this runner is
+    both at once: the chain axis carries independent chains (the seed sweep),
+    the feature axis splits theta/phi columns inside each chain with one
+    m-length psum per step (Megatron-style column parallelism for the linear
+    model).
+
+    Layout invariance: per-chain keys fold the GLOBAL chain id and per-step
+    noise is drawn as the full (padded) theta vector then sliced locally, so
+    results are independent of the mesh factorisation — (1, 1) == (2, 4) to
+    collective-reduction-order tolerance (tested). RMSprop is supported
+    (shard-local preconditioner).
+
+    Returns ``(theta (C, n), collected (C, maxepoch, n), rejected (C,))``.
+    """
+    n = phi.shape[1]
+    shards = mesh.shape[FEATURE_AXIS]
+    chain_groups = mesh.shape[CHAIN_AXIS]
+    if num_chains % chain_groups:
+        raise ValueError(f"{num_chains} chains do not split over {chain_groups} groups")
+    n_pad = -(-n // shards) * shards
+    if n_pad != n:
+        phi = jnp.pad(phi, ((0, 0), (0, n_pad - n)))
+
+    N = y.shape[0]
+    B, pad = _pad_data(N, m)
+    phi_data_pad = jnp.concatenate([phi, jnp.zeros_like(phi[:1])], axis=0)
+    y_pad = jnp.concatenate([y, jnp.zeros_like(y[:1])])
+
+    eps0 = _scalar_eps(config)
+    decay = float(config.decay)
+    langevin = bool(config.langevin)
+    sig2 = float(model.signal_var)
+    st2 = float(model.sigma_theta) ** 2
+    epochs = burnin + maxepoch
+    chain_keys = jax.vmap(lambda c: jax.random.fold_in(key, c))(
+        jnp.arange(num_chains)
+    )
+    kperm_base = jax.random.fold_in(key, 0x9E77)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(CHAIN_AXIS), P(None, FEATURE_AXIS), P()),
+        out_specs=(P(CHAIN_AXIS, FEATURE_AXIS), P(CHAIN_AXIS, None, FEATURE_AXIS),
+                   P(CHAIN_AXIS)),
+        check_vma=False,
+    )
+    def run(keys_local, phi_local, y_all):
+        ax = jax.lax.axis_index(FEATURE_AXIS)
+        n_local = phi_local.shape[1]
+
+        def one_chain(ck):
+            kinit, knoise = jax.random.split(ck)
+            theta_full0 = model.sigma_theta * jax.random.normal(
+                kinit, (n_pad,), phi_local.dtype
+            )
+            theta0 = jax.lax.dynamic_slice(theta_full0, (ax * n_local,), (n_local,))
+
+            def batch_body(carry, b_idx):
+                theta, G, t, rej = carry
+                idx, wts = b_idx
+                sub = jax.random.fold_in(knoise, t)
+                phi_b = phi_local[idx]
+                resid_scale = N / jnp.maximum(jnp.sum(wts), 1.0)
+                fhat = jax.lax.psum(phi_b @ theta, FEATURE_AXIS)
+                resid = wts * (y_all[idx] - fhat) / sig2
+                g = resid_scale * (phi_b.T @ resid) - theta / st2
+                tf = t.astype(phi_b.dtype) + 1.0
+                e_t = eps0 * tf ** (-decay) if decay else jnp.asarray(eps0, phi_b.dtype)
+                if config.rmsprop:
+                    G = config.rmsprop_alpha * G + (1 - config.rmsprop_alpha) * g * g
+                    scale = 1.0 / (config.rmsprop_lambda + jnp.sqrt(G))
+                    drift = e_t * scale * g / 2
+                    noise_scale = jnp.sqrt(e_t * scale)
+                else:
+                    drift = e_t * g / 2
+                    noise_scale = jnp.sqrt(e_t)
+                newt = theta + drift
+                if langevin:
+                    # layout-independent stream: full-width draw, local slice
+                    noise_full = jax.random.normal(sub, (n_pad,), theta.dtype)
+                    newt = newt + noise_scale * jax.lax.dynamic_slice(
+                        noise_full, (ax * n_local,), (n_local,)
+                    )
+                bad_local = (~jnp.all(jnp.isfinite(newt))).astype(jnp.int32)
+                bad = jax.lax.psum(bad_local, FEATURE_AXIS) > 0
+                theta = jnp.where(bad, theta, newt)
+                return (theta, G, t + 1, rej + bad.astype(jnp.int32)), None
+
+            def epoch_body(carry, e):
+                kp = jax.random.fold_in(kperm_base, e)
+                idx, wts = _epoch_batches(kp, N, B, m, pad)
+                carry, _ = jax.lax.scan(batch_body, carry, (idx, wts))
+                return carry, carry[0]
+
+            carry0 = (theta0, jnp.zeros_like(theta0),
+                      jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+            (theta, _, _, rej), collected = jax.lax.scan(
+                epoch_body, carry0, jnp.arange(epochs)
+            )
+            return theta, collected, rej
+
+        return jax.vmap(one_chain)(keys_local)
+
+    theta, collected, rejected = jax.jit(run)(chain_keys, phi_data_pad, y_pad)
+    return theta[:, :n], collected[:, burnin:, :n], rejected

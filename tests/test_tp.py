@@ -102,3 +102,69 @@ def test_tp_nan_rejection_is_global(key):
     # every step contains the poisoned datum (full batch) → all rejected
     assert int(rej) == 4
     np.testing.assert_allclose(np.asarray(th), np.asarray(theta0), rtol=0, atol=0)
+
+
+def test_tp_chains_mesh_invariance():
+    """(chain, feature) composed runner: (2, 4) mesh == (1, 1) mesh (i.e.
+    fully local) to collective-order tolerance — 8 chains, feature-sharded
+    theta (kin40kNoTensorExperiment.jl:34-46 composed with its seed sweeps)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpt_tpu.inference.sgld import SGLDConfig
+    from gpt_tpu.models.fulltheta import FullThetaGP
+    from gpt_tpu.parallel import make_chain_feature_mesh, run_sgld_tp_chains
+
+    key = jax.random.PRNGKey(4)
+    kphi, ky, kr = jax.random.split(key, 3)
+    n, N, C = 96, 64, 8
+    ft = FullThetaGP(n=n, signal_var=0.05, sigma_theta=1.0)
+    phi = jax.random.normal(kphi, (N, n), jnp.float32) / jnp.sqrt(n)
+    y = jax.random.normal(ky, (N,), jnp.float32)
+    cfg = SGLDConfig(eps=1e-3)
+
+    out = {}
+    for shape in [(1, 1), (2, 4)]:
+        mesh = make_chain_feature_mesh(*shape)
+        theta, coll, rej = run_sgld_tp_chains(
+            ft, mesh, kr, phi, y, num_chains=C, m=16, config=cfg,
+            burnin=1, maxepoch=3,
+        )
+        assert theta.shape == (C, n)
+        assert coll.shape == (C, 3, n)
+        assert int(jnp.sum(rej)) == 0
+        out[shape] = np.asarray(jax.device_get(theta))
+    err = float(np.max(np.abs(out[(1, 1)] - out[(2, 4)])))
+    assert err < 1e-4, err
+
+
+def test_tp_rmsprop_runs():
+    """RMSprop TP (previously NotImplementedError): trains, stays finite, and
+    differs from the plain-SGLD trajectory (the preconditioner engages)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpt_tpu.inference.sgld import SGLDConfig
+    from gpt_tpu.models.fulltheta import FullThetaGP
+    from gpt_tpu.parallel import make_feature_mesh, run_sgld_tp
+
+    key = jax.random.PRNGKey(6)
+    kphi, ky, kr = jax.random.split(key, 3)
+    n, N = 64, 48
+    ft = FullThetaGP(n=n, signal_var=0.05, sigma_theta=1.0)
+    phi = jax.random.normal(kphi, (N, n), jnp.float32) / jnp.sqrt(n)
+    y = jax.random.normal(ky, (N,), jnp.float32)
+    mesh = make_feature_mesh(8)
+
+    theta_rms, _, rej = run_sgld_tp(
+        ft, mesh, kr, phi, y, m=16,
+        config=SGLDConfig(eps=1e-3, rmsprop=True), burnin=1, maxepoch=2,
+    )
+    theta_plain, _, _ = run_sgld_tp(
+        ft, mesh, kr, phi, y, m=16,
+        config=SGLDConfig(eps=1e-3), burnin=1, maxepoch=2,
+    )
+    assert int(rej) == 0
+    assert bool(jnp.all(jnp.isfinite(theta_rms)))
+    assert float(jnp.max(jnp.abs(theta_rms - theta_plain))) > 1e-4
