@@ -29,7 +29,7 @@ rejection counting (see ``utils.stiefel.guard``).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -455,6 +455,7 @@ def run_sgld_megafused(
     chain_block: int = 16,
     data_chunk: int = 32,
     interpret: bool | None = None,
+    stages: tuple = ("expand", "bwd", "manifold"),
 ):
     """Chain-fleet SGLD where EVERY transition is ONE fused Pallas kernel.
 
@@ -478,7 +479,7 @@ def run_sgld_megafused(
     canonical (C, ...) layout.
     """
     from gpt_tpu.ops.contraction import core_indicator
-    from gpt_tpu.ops.pallas_sgld import fused_sgld_step
+    from gpt_tpu.ops.pallas_sgld import block_onehots, fused_sgld_step
 
     if not getattr(model, "stiefel", True):
         raise NotImplementedError("megafused runner requires stiefel factors")
@@ -504,20 +505,69 @@ def run_sgld_megafused(
     phi_pad = jnp.concatenate([phi, jnp.zeros_like(phi[:1])], axis=0)
     phi_bf16 = phi_pad.astype(jnp.bfloat16)
     y_pad = jnp.concatenate([y, jnp.zeros_like(y[:1])], axis=0)
-    onehot = core_indicator(model.I, r, dtype=jnp.bfloat16)        # (Q, D, r)
-    onehotT = jnp.transpose(onehot, (2, 1, 0))                      # (r, D, Q)
+    onehot = core_indicator(model.I, r, dtype=jnp.float32)          # (Q, D, r)
+    ohf, ohb = block_onehots(onehot, CB)
 
     if collect_fn is None:
-        collect_fn = lambda p: p
+        collect_fn = _collect_params
 
     params_cls = type(params0_chains)
 
     def to_internal(p):
-        w3 = p.w.reshape(NB, CB, Q)
+        # w lanes are (chain, q) chain-major: (NB, CB, Q) -> (NB, 1, CB*Q)
+        w3 = p.w.reshape(NB, 1, CB * Q)
         U4 = jnp.transpose(
             p.U.reshape(NB, CB, D, n, r), (0, 2, 3, 1, 4)
         ).reshape(NB, D, n, CB * r)
         return w3, U4
+
+    w3_0, U4_0 = to_internal(params0_chains)
+    base_seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max,
+                                   dtype=jnp.int32)
+    kperm_base = jax.random.split(key, 2)[1]
+    knoise_base = jax.random.split(key, 3)[2]
+
+    program = _megafused_program(
+        params_cls, D, n, r, Q, CB, NB, mc, Mch, N, B, pad, m,
+        eps_w, eps_U, float(config.decay), bool(config.langevin), ns_iters,
+        float(model.sigma_w) ** 2, float(model.signal_var),
+        tuple(stages), bool(interpret), burnin, maxepoch, collect_fn,
+    )
+    return program(w3_0, U4_0, phi_bf16, y_pad, ohf, ohb, base_seed,
+                   kperm_base, knoise_base)
+
+
+def _collect_params(p):
+    return p
+
+
+def collect_nothing(p):
+    """Collect-nothing ``collect_fn`` for pure-throughput runs.
+
+    Module-level (stable identity) so repeated :func:`run_sgld_megafused`
+    calls hit the cached jitted program — a fresh ``lambda p: ()`` per call
+    would force a full re-trace each time.
+    """
+    return ()
+
+
+@lru_cache(maxsize=64)
+def _megafused_program(
+    params_cls, D, n, r, Q, CB, NB, mc, Mch, N, B, pad, m,
+    eps_w, eps_U, decay, langevin, ns_iters, sigma_w2, signal_var,
+    stages, interpret, burnin, maxepoch, collect_fn,
+):
+    """Build (once per static configuration) the jitted megafused run program.
+
+    Re-wrapping ``jax.jit`` per call would re-trace the whole epoch/batch scan
+    every invocation — measured ~5-10 s of host time per call, dwarfing the
+    device time of the entire run. The cache key includes ``collect_fn`` BY
+    IDENTITY: pass a module-level function (not a fresh lambda) to hit it.
+    """
+    from gpt_tpu.ops.pallas_sgld import fused_sgld_step
+
+    C = NB * CB
+    input_noise = interpret and langevin
 
     def to_canonical(w3, U4):
         w = w3.reshape(C, Q)
@@ -526,15 +576,8 @@ def run_sgld_megafused(
         ).reshape(C, D, n, r)
         return params_cls(w=w, U=U)
 
-    w3_0, U4_0 = to_internal(params0_chains)
-    base_seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max,
-                                   dtype=jnp.int32)
-    kperm_base = jax.random.split(key, 2)[1]
-    knoise_base = jax.random.split(key, 3)[2]
-    # interpret mode has no in-kernel TPU PRNG — feed threefry normals instead
-    input_noise = interpret and config.langevin
-
-    def batch_body(carry, b_and_idx):
+    def batch_body(phi_bf16, y_pad, ohf, ohb, base_seed, knoise_base,
+                   carry, b_and_idx):
         w3, U4, step, rejected = carry
         idx, wts = b_and_idx
         phi_b = phi_bf16[idx].reshape(Mch, mc, D, n)
@@ -543,9 +586,9 @@ def run_sgld_megafused(
         nwts = jnp.sum(wts)
         scale = N / jnp.maximum(nwts, 1.0)
         t = step.astype(jnp.float32) + 1.0
-        decay = t ** (-config.decay) if config.decay else 1.0
+        decay_t = t ** (-decay) if decay else 1.0
         scalars = jnp.stack(
-            [scale, eps_w * decay, eps_U * decay, jnp.float32(0.0)]
+            [scale, eps_w * decay_t, eps_U * decay_t, jnp.float32(0.0)]
         ).reshape(1, 4)
         seed = (base_seed + step * jnp.int32(2654435761 & 0x7FFFFFFF)).reshape(1, 1)
         noise = None
@@ -553,29 +596,33 @@ def run_sgld_megafused(
             kn = jax.random.fold_in(knoise_base, step)
             k1, k2 = jax.random.split(kn)
             noise = (
-                jax.random.normal(k1, (NB, CB, Q), jnp.float32),
+                jax.random.normal(k1, (NB, 1, CB * Q), jnp.float32),
                 jax.random.normal(k2, (NB, D, n, CB * r), jnp.float32),
             )
         w3n, U4n, rej = fused_sgld_step(
-            w3, U4, phi_b, y_b, wts_b, onehot, onehotT, scalars, seed,
-            r=r, ns_iters=ns_iters, langevin=config.langevin,
-            sigma_w2=model.sigma_w ** 2, signal_var=model.signal_var,
-            interpret=interpret, noise=noise,
+            w3, U4, phi_b, y_b, wts_b, ohf, ohb, scalars, seed,
+            r=r, ns_iters=ns_iters, langevin=langevin,
+            sigma_w2=sigma_w2, signal_var=signal_var,
+            interpret=interpret, noise=noise, stages=stages,
         )
-        return (w3n, U4n, step + 1, rejected + jnp.sum(rej)), None
-
-    def epoch_body(carry, e):
-        w3, U4, step, rejected = carry
-        kperm = jax.random.fold_in(kperm_base, e)
-        idx, wts = _epoch_batches(kperm, N, B, m, pad)
-        (w3, U4, step, rejected), _ = jax.lax.scan(
-            batch_body, (w3, U4, step, rejected),
-            (idx, wts),
-        )
-        return (w3, U4, step, rejected), collect_fn(to_canonical(w3, U4))
+        rej_total = rejected + jnp.sum(rej, dtype=jnp.int32)
+        return (w3n, U4n, step + 1, rej_total), None
 
     @jax.jit
-    def run(w3, U4):
+    def run(w3, U4, phi_bf16, y_pad, ohf, ohb, base_seed, kperm_base,
+            knoise_base):
+        def epoch_body(carry, e):
+            w3, U4, step, rejected = carry
+            kperm = jax.random.fold_in(kperm_base, e)
+            idx, wts = _epoch_batches(kperm, N, B, m, pad)
+            (w3, U4, step, rejected), _ = jax.lax.scan(
+                partial(batch_body, phi_bf16, y_pad, ohf, ohb, base_seed,
+                        knoise_base),
+                (w3, U4, step, rejected),
+                (idx, wts),
+            )
+            return (w3, U4, step, rejected), collect_fn(to_canonical(w3, U4))
+
         carry0 = (w3, U4, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
         (w3f, U4f, _, rejected), collected = jax.lax.scan(
             epoch_body, carry0, jnp.arange(burnin + maxepoch)
@@ -583,7 +630,7 @@ def run_sgld_megafused(
         collected = jax.tree.map(lambda a: a[burnin:], collected)
         return to_canonical(w3f, U4f), collected, rejected
 
-    return run(w3_0, U4_0)
+    return run
 
 
 def run_sgld_chains_fused(

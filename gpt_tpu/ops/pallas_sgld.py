@@ -16,18 +16,27 @@ all four (measured in ``scripts/cliff_probe.py`` / SCALING_chains.md).
 
 TPU-first design decisions:
 
-- **Chain-merged matmul shapes.** Chains live on the matmul *lane* axis:
-  ``U`` is carried as ``(D, n, C/CB, CB*r)`` so a block's per-dimension factor
-  stack is one ``(n, CB*r)`` operand and ``phidot`` is a single MXU matmul
-  ``(mc, n) @ (n, CB*r)`` per dimension — CB chains per pass instead of 1.
+- **Chains live on the matmul LANE axis, everywhere.** ``U`` is carried as
+  ``(D, n, CB*r)`` per block (CB chains' factor columns concatenated), ``w``
+  as ``(1, CB*Q)``, and every data intermediate as ``(mc, CB*r)`` or
+  ``(mc, CB*Q)``. Mosaic cannot lower lane→sublane shape casts (e.g.
+  ``(mc, CB*r) → (mc*CB, r)`` fails with "unsupported shape cast"), so the
+  kernel NEVER moves data between the lane and sublane axes: the core-index
+  gather becomes a matmul against a **block-diagonal one-hot matrix**
+  ``(CB*r, CB*Q)`` (CB copies of the per-dim (r, Q) indicator), and all
+  per-chain lane-group reductions (fhat, NaN counts, rejection masks) are
+  matmuls against iota-built 0/1 chain-membership matrices. The block-diag
+  matmuls spend CB× the minimal FLOPs, but they are single-pass bf16 MXU ops
+  — orders of magnitude cheaper than the dispatch+relayout storm they
+  replace (and ``chain_block`` tunes the trade-off).
 - **Grid ``(chain_blocks, data_chunks)``** with gradient accumulators in VMEM
   scratch: the minibatch is swept in ``mc``-row chunks, so VMEM holds only
-  ``(mc*CB, Q)`` product tensors (the (C, m, D, Q) HBM blow-up of the XLA
+  ``(mc, CB*Q)`` product tensors (the (C, m, D, Q) HBM blow-up of the XLA
   backward never exists), and arbitrarily large batches stream.
 - **Block-diagonal manifold algebra.** The per-chain r x r Gram/NS-iteration
   matmuls (the >256-chain cliff's root cause: C*D batched (10, 100)@(100, 10)
   einsums at HIGHEST precision) become per-block ``(CB*r, CB*r)`` matmuls
-  masked to their block diagonal — 8-16 chains' manifold algebra per MXU pass.
+  masked to their block diagonal — CB chains' manifold algebra per MXU pass.
 - **Divergence check fused into the retraction.** The Newton–Schulz iteration
   already computes X^T X; its first residual ``max |X^T X - I|`` IS the
   divergence signal (healthy steps: ~eps_U * ||mom||^2 ~ 1e-5; diverged
@@ -38,7 +47,8 @@ TPU-first design decisions:
   draw — comparable to the entire rest of the step).
 - bf16 1-pass MXU for the likelihood path (same effective precision class as
   the XLA path's DEFAULT-precision einsums on TPU), f32 HIGHEST for the
-  manifold algebra (NS correction must resolve ~1e-5 Gram residuals).
+  manifold algebra (NS correction must resolve ~1e-5 Gram residuals) and for
+  the small per-chain reduction matmuls (fhat must not round through bf16).
 
 Semantics match ``make_sgld_step`` (polar transport, langevin on/off) with the
 same update law; noise streams differ (TPU PRNG vs threefry), so cross-path
@@ -73,12 +83,27 @@ def _normals(shape):
     return rad * jnp.cos((2.0 * math.pi) * u2)
 
 
+def _group_matrix(groups: int, width: int, transpose: bool):
+    """0/1 chain-membership matrix built from iotas (never leaves VMEM).
+
+    ``transpose=False``: (groups*width, groups) — lane-group -> chain reduce.
+    ``transpose=True``:  (groups, groups*width) — chain -> lane-group bcast.
+    """
+    if transpose:
+        row = jax.lax.broadcasted_iota(jnp.int32, (groups, groups * width), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (groups, groups * width), 1)
+        return (row == (col // width)).astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (groups * width, groups), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (groups * width, groups), 1)
+    return ((row // width) == col).astype(jnp.float32)
+
+
 def _sgld_kernel(
     # static (closed over via functools.partial)
     D, n, r, Q, CB, mc, Mch, ns_iters, langevin, sigma_w2, signal_var, orth_tol,
-    tpu_prng,
+    tpu_prng, stages,
     # refs
-    scal_ref, seed_ref, phi_ref, y_ref, wt_ref, oh_ref, ohT_ref, w_ref, U_ref,
+    scal_ref, seed_ref, phi_ref, y_ref, wt_ref, ohf_ref, ohb_ref, w_ref, U_ref,
     *rest,
 ):
     if tpu_prng or not langevin:
@@ -89,7 +114,9 @@ def _sgld_kernel(
     c = pl.program_id(0)
     j = pl.program_id(1)
     CBr = CB * r
+    CBQ = CB * Q
     f32 = jnp.float32
+    bf16 = jnp.bfloat16
     scale = scal_ref[0, 0]
     eps_w = scal_ref[0, 1]
     eps_U = scal_ref[0, 2]
@@ -99,57 +126,68 @@ def _sgld_kernel(
         wbar_acc[...] = jnp.zeros_like(wbar_acc)
         Ubar_acc[...] = jnp.zeros_like(Ubar_acc)
 
-    w = w_ref[0]            # (CB, Q) f32
+    w = w_ref[0]            # (1, CBQ) f32, lanes (chain, q) chain-major
     phi = phi_ref[0]        # (mc, D, n) bf16
     y = y_ref[0]            # (mc, 1) f32
     wt = wt_ref[0]          # (mc, 1) f32
 
+    q2c = _group_matrix(CB, Q, transpose=False)           # (CBQ, CB)
+    c2q = _group_matrix(CB, Q, transpose=True)            # (CB, CBQ)
+
     # ---- forward: temp -> g -> V -> fhat --------------------------------
+    # g_d[i, (chain, q)] = <phi_d(x_i), U_d[:, (chain, I[q, d])]> via the
+    # block-diagonal one-hot expansion (the reference's computeV gather,
+    # GPT_SGLD.jl:208-220, as a lane-layout MXU matmul).
     gs = []
     V = None
     for d in range(D):
         Ucat = U_ref[0, d]                                # (n, CBr) f32
-        temp = jnp.dot(phi[:, d, :], Ucat.astype(jnp.bfloat16),
+        temp = jnp.dot(phi[:, d, :], Ucat.astype(bf16),
                        preferred_element_type=f32)        # (mc, CBr)
-        temp2 = temp.reshape(mc * CB, r)                  # rows (i, c)-major
-        g = jnp.dot(temp2.astype(jnp.bfloat16), ohT_ref[:, d, :],
-                    preferred_element_type=f32)           # (mc*CB, Q)
+        if "expand" in stages:
+            g = jnp.dot(temp.astype(bf16), ohf_ref[d],
+                        preferred_element_type=f32)       # (mc, CBQ)
+        else:  # timing bisect only: skip the block-one-hot expansion
+            g = jax.lax.broadcast_in_dim(temp[:, :1], (mc, CBQ), (0, 1))
         gs.append(g)
         V = g if V is None else V * g
 
-    V3 = V.reshape(mc, CB, Q)
-    fhat = jnp.sum(V3 * w[None], axis=-1)                 # (mc, CB)
+    Vw = V * w                                            # (mc, CBQ)
+    fhat = jnp.dot(Vw, q2c, preferred_element_type=f32,
+                   precision=_HI)                         # (mc, CB)
     gbar = (scale / signal_var) * wt * (y - fhat)         # (mc, CB)
+    gbar_lane = jnp.dot(gbar, c2q, preferred_element_type=f32,
+                        precision=_HI)                    # (mc, CBQ)
 
-    wbar_acc[...] += jnp.sum(V3 * gbar[:, :, None], axis=0)
+    wbar_acc[...] += jnp.sum(V * gbar_lane, axis=0, keepdims=True)
 
     # ---- backward: leave-one-out products -> Ubar accumulation ----------
-    Vbar = (gbar[:, :, None] * w[None]).reshape(mc * CB, Q)
-    sufs = [None] * D
-    s = None
-    for d in range(D - 1, 0, -1):
-        s = gs[d] if s is None else s * gs[d]
-        sufs[d - 1] = s
-    pre = None
-    for d in range(D):
-        if D == 1:
-            loo = jnp.ones_like(Vbar)
-        elif d == 0:
-            loo = sufs[0]
-        elif d == D - 1:
-            loo = pre
-        else:
-            loo = pre * sufs[d]
-        gdbar = Vbar * loo                                # (mc*CB, Q)
-        tempbar = jnp.dot(gdbar.astype(jnp.bfloat16), oh_ref[:, d, :],
-                          preferred_element_type=f32)     # (mc*CB, r)
-        tb_cat = tempbar.reshape(mc, CBr)
-        Ubar_acc[d] += jax.lax.dot_general(
-            phi[:, d, :], tb_cat.astype(jnp.bfloat16),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )                                                 # (n, CBr)
-        pre = gs[d] if pre is None else pre * gs[d]
+    if "bwd" in stages:
+        Vbar = gbar_lane * w                              # (mc, CBQ)
+        sufs = [None] * D
+        s = None
+        for d in range(D - 1, 0, -1):
+            s = gs[d] if s is None else s * gs[d]
+            sufs[d - 1] = s
+        pre = None
+        for d in range(D):
+            if D == 1:
+                loo = jnp.ones_like(Vbar)
+            elif d == 0:
+                loo = sufs[0]
+            elif d == D - 1:
+                loo = pre
+            else:
+                loo = pre * sufs[d]
+            gdbar = Vbar * loo                            # (mc, CBQ)
+            tempbar = jnp.dot(gdbar.astype(bf16), ohb_ref[d],
+                              preferred_element_type=f32)  # (mc, CBr)
+            Ubar_acc[d] += jax.lax.dot_general(
+                phi[:, d, :], tempbar.astype(bf16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )                                             # (n, CBr)
+            pre = gs[d] if pre is None else pre * gs[d]
 
     # ---- parameter update (last data chunk only) ------------------------
     @pl.when(j == Mch - 1)
@@ -158,19 +196,24 @@ def _sgld_kernel(
             pltpu.prng_seed(seed_ref[0, 0], c)
 
         def noise_w():
-            return _normals((CB, Q)) if tpu_prng else nw_ref[0]
+            return _normals((1, CBQ)) if tpu_prng else nw_ref[0]
 
         def noise_U(d):
-            return _normals((n, CB * r)) if tpu_prng else nU_ref[0, d]
+            return _normals((n, CBr)) if tpu_prng else nU_ref[0, d]
 
         # Euclidean w: x <- x + eps*grad/2 + sqrt(eps)*xi, per-chain NaN reject
         gradw = wbar_acc[...] - w / sigma_w2
         w_new = w + 0.5 * eps_w * gradw
         if langevin:
             w_new = w_new + jnp.sqrt(eps_w) * noise_w()
-        ok_w = jnp.all(jnp.isfinite(w_new), axis=-1, keepdims=True)  # (CB, 1)
-        wout_ref[0] = jnp.where(ok_w, w_new, w)
-        rej = (~ok_w).astype(jnp.int32)                   # (CB, 1)
+        bad_w = jnp.where(jnp.isfinite(w_new), 0.0, 1.0)  # (1, CBQ)
+        badc = jnp.dot(bad_w, q2c, preferred_element_type=f32,
+                       precision=_HI)                     # (1, CB) counts
+        okw = jnp.where(badc < 0.5, 1.0, 0.0)             # (1, CB)
+        okw_lane = jnp.dot(okw, c2q, preferred_element_type=f32,
+                           precision=_HI) > 0.5           # (1, CBQ)
+        wout_ref[0] = jnp.where(okw_lane, w_new, w)
+        rej = 1.0 - okw                                   # (1, CB)
 
         # Stiefel factors: project to tangent, polar-retract, NS-fused check.
         sqeU = jnp.sqrt(eps_U)
@@ -178,15 +221,17 @@ def _sgld_kernel(
         col = jax.lax.broadcasted_iota(jnp.int32, (CBr, CBr), 1)
         blockmask = (row // r) == (col // r)              # (CBr, CBr) bool
         eye = (row == col).astype(f32)
-        rowcb = jax.lax.broadcasted_iota(jnp.int32, (CB, CBr), 0)
-        colcb = jax.lax.broadcasted_iota(jnp.int32, (CB, CBr), 1)
-        maskcb = rowcb == (colcb // r)                    # (CB, CBr) bool
+        r2c = _group_matrix(CB, r, transpose=False)       # (CBr, CB)
+        c2r = _group_matrix(CB, r, transpose=True)        # (CB, CBr)
 
         for d in range(D):
             Ucat = U_ref[0, d]                            # (n, CBr)
             G = 0.5 * sqeU * Ubar_acc[d]
             if langevin:
                 G = G + noise_U(d)
+            if "manifold" not in stages:  # timing bisect only
+                Uout_ref[0, d] = Ucat + sqeU * G
+                continue
             # tangent projection: mom = G - U sym(U^T G), blockwise
             F1 = jax.lax.dot_general(
                 Ucat, G, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -214,23 +259,41 @@ def _sgld_kernel(
             # per-chain max, broadcast back to that chain's lanes
             err_lane = jnp.max(jnp.where(blockmask, rowerr, 0.0),
                                axis=0, keepdims=True)           # (1, CBr)
-            ok_lane = err_lane < orth_tol                       # NaN -> False
+            bad_U = jnp.where(err_lane < orth_tol, 0.0, 1.0)    # NaN -> 1
+            badUc = jnp.dot(bad_U, r2c, preferred_element_type=f32,
+                            precision=_HI)                      # (1, CB)
+            okU = jnp.where(badUc < 0.5, 1.0, 0.0)              # (1, CB)
+            ok_lane = jnp.dot(okU, c2r, preferred_element_type=f32,
+                              precision=_HI) > 0.5              # (1, CBr)
             Uout_ref[0, d] = jnp.where(ok_lane, X, Ucat)
-            err_cb = jnp.max(jnp.where(maskcb, rowerr[:, 0][None, :], 0.0),
-                             axis=1, keepdims=True)             # (CB, 1)
-            rej = rej + (~(err_cb < orth_tol)).astype(jnp.int32)
+            rej = rej + (1.0 - okU)
 
-        rej_ref[0] = rej
+        rej_ref[0] = rej.astype(jnp.int32)
+
+
+def block_onehots(onehot: jnp.ndarray, CB: int):
+    """Block-diagonal core-index expansion matrices for ``fused_sgld_step``.
+
+    ``onehot`` is the (Q, D, r) core indicator (``ops.contraction.core_indicator``).
+    Returns ``(ohf (D, CB*r, CB*Q), ohb (D, CB*Q, CB*r))`` in bf16:
+    ``ohf[d, c*r + rho, c'*Q + q] = (c == c') * (I[q, d] == rho)``.
+    """
+    base = jnp.transpose(onehot, (1, 2, 0)).astype(jnp.bfloat16)  # (D, r, Q)
+    eye = jnp.eye(CB, dtype=jnp.bfloat16)
+    D, r, Q = base.shape
+    ohf = jnp.einsum("ce,drq->dcreq", eye, base).reshape(D, CB * r, CB * Q)
+    ohb = jnp.transpose(ohf, (0, 2, 1))
+    return ohf, ohb
 
 
 def fused_sgld_step(
-    w3: jnp.ndarray,      # (NB, CB, Q) f32
+    w3: jnp.ndarray,      # (NB, 1, CB*Q) f32 — lanes (chain, q) chain-major
     U4: jnp.ndarray,      # (NB, D, n, CB*r) f32
     phi_b: jnp.ndarray,   # (Mch, mc, D, n) bf16 — the minibatch features
     y_b: jnp.ndarray,     # (Mch, mc, 1) f32
     wts: jnp.ndarray,     # (Mch, mc, 1) f32
-    onehot: jnp.ndarray,  # (Q, D, r) bf16
-    onehotT: jnp.ndarray, # (r, D, Q) bf16
+    ohf: jnp.ndarray,     # (D, CB*r, CB*Q) bf16 — see block_onehots
+    ohb: jnp.ndarray,     # (D, CB*Q, CB*r) bf16
     scalars: jnp.ndarray, # (1, 4) f32: [scale, eps_w, eps_U, unused]
     seed: jnp.ndarray,    # (1, 1) int32
     *,
@@ -242,30 +305,35 @@ def fused_sgld_step(
     orth_tol: float = 0.3,
     interpret: bool = False,
     noise: tuple | None = None,
+    stages: tuple = ("expand", "bwd", "manifold"),
 ):
     """One fused SGLD transition for the whole fleet. Returns
-    ``(w3_new, U4_new, rejected (NB, CB, 1) int32)``.
+    ``(w3_new, U4_new, rejected (NB, 1, CB) int32)``.
 
-    ``noise=(nw (NB, CB, Q), nU (D, n, NB, CB*r))`` supplies the Langevin
+    ``noise=(nw (NB, 1, CB*Q), nU (NB, D, n, CB*r))`` supplies the Langevin
     normals as inputs instead of the in-kernel TPU PRNG — used on backends
     without ``prng_seed`` support (interpret mode) and for deterministic
     testing.
     """
-    NB, CB, Q = w3.shape
+    NB, one, CBQ = w3.shape
     NB2, D, n, CBr = U4.shape
     Mch, mc, D2, n2 = phi_b.shape
-    assert NB == NB2 and D == D2 and n == n2 and CBr == CB * r
+    CB = CBr // r
+    Q = CBQ // CB
+    assert NB == NB2 and D == D2 and n == n2 and one == 1
+    assert CBr == CB * r and CBQ == CB * Q
     tpu_prng = noise is None
 
     kernel = functools.partial(
         _sgld_kernel, D, n, r, Q, CB, mc, Mch, ns_iters, langevin,
         float(sigma_w2), float(signal_var), float(orth_tol), tpu_prng,
+        frozenset(stages),
     )
     noise_specs = []
     noise_args = []
     if not tpu_prng and langevin:
         noise_specs = [
-            pl.BlockSpec((1, CB, Q), lambda c, j: (c, 0, 0),
+            pl.BlockSpec((1, 1, CBQ), lambda c, j: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, n, CBr), lambda c, j: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -283,31 +351,35 @@ def fused_sgld_step(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mc, 1), lambda c, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Q, D, r), lambda c, j: (0, 0, 0),
+            pl.BlockSpec((D, CBr, CBQ), lambda c, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, D, Q), lambda c, j: (0, 0, 0),
+            pl.BlockSpec((D, CBQ, CBr), lambda c, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CB, Q), lambda c, j: (c, 0, 0),
+            pl.BlockSpec((1, 1, CBQ), lambda c, j: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, n, CBr), lambda c, j: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + noise_specs,
         out_specs=[
-            pl.BlockSpec((1, CB, Q), lambda c, j: (c, 0, 0),
+            pl.BlockSpec((1, 1, CBQ), lambda c, j: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, n, CBr), lambda c, j: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CB, 1), lambda c, j: (c, 0, 0),
+            pl.BlockSpec((1, 1, CB), lambda c, j: (c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NB, CB, Q), jnp.float32),
+            jax.ShapeDtypeStruct((NB, 1, CBQ), jnp.float32),
             jax.ShapeDtypeStruct((NB, D, n, CBr), jnp.float32),
-            jax.ShapeDtypeStruct((NB, CB, 1), jnp.int32),
+            jax.ShapeDtypeStruct((NB, 1, CB), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((CB, Q), jnp.float32),
+            pltpu.VMEM((1, CBQ), jnp.float32),
             pltpu.VMEM((D, n, CBr), jnp.float32),
         ],
+        # w3/U4 update in place: without aliasing XLA must copy the whole
+        # fleet's parameter buffers around every call inside the step scan,
+        # which dwarfs the kernel's own cost at large C.
+        input_output_aliases={7: 0, 8: 1},
         interpret=interpret,
-    )(scalars, seed, phi_b, y_b, wts, onehot, onehotT, w3, U4, *noise_args)
+    )(scalars, seed, phi_b, y_b, wts, ohf, ohb, w3, U4, *noise_args)

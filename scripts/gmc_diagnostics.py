@@ -56,7 +56,8 @@ def main():
     model = TensorGP(n=P.n, r=P.r, D=D, I=I, signal_var=P.signal_var,
                      precision="highest")
     cfg = GMCConfig(
-        eps=TensorGPParams(w=P.epsw, U=P.epsU), num_leapfrog=L, jitter_steps=True
+        eps=TensorGPParams(w=P.epsw, U=P.epsU), num_leapfrog=L,
+        jitter_steps=True, adapt_step_size=True,
     )
     # per-chain SGLD warm start (the parity recipe: GMC from random inits
     # wastes its budget traversing the prior)
@@ -74,7 +75,7 @@ def main():
         burnin=burnin, maxepoch=keep, collect_fn=collect,
     )))
     t0 = time.time()
-    _, probes, accept = run(params0, keys)
+    _, probes, accept, eta_bar = run(params0, keys)
     jax.block_until_ready(probes)
     wall = time.time() - t0
 
@@ -83,6 +84,8 @@ def main():
     ess = np.asarray(effective_sample_size(jnp.asarray(probes)))
     m = dict(
         chains=C, burnin=burnin, kept=keep, num_leapfrog=L,
+        adapt_step_size=True,
+        eta_bar_median=round(float(np.median(np.asarray(eta_bar))), 4),
         mean_accept=round(float(np.mean(np.asarray(accept))), 3),
         rhat_max=round(float(rhat.max()), 4),
         rhat_median=round(float(np.median(rhat)), 4),

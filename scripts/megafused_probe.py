@@ -23,7 +23,7 @@ from gpt_tpu.data import load_power_plant
 from gpt_tpu.experiments.configs import POWER_PLANT_TENSOR_SMALL as PRESET
 from gpt_tpu.features import sample_tensor_rff, tensor_features, tensor_phi_scale
 from gpt_tpu.inference import SGLDConfig
-from gpt_tpu.inference.sgld import run_sgld_megafused
+from gpt_tpu.inference.sgld import collect_nothing, run_sgld_megafused
 from gpt_tpu.models import TensorGP, sample_core_indices
 from gpt_tpu.models.tensor_gp import TensorGPParams
 
@@ -65,7 +65,7 @@ def main():
         t0 = time.perf_counter()
         out = run_sgld_megafused(
             model, params0, ks, phi, y, m=PRESET.m, config=config,
-            burnin=EPOCHS, maxepoch=0, collect_fn=lambda p: (),
+            burnin=EPOCHS, maxepoch=0, collect_fn=collect_nothing,
             chain_block=CB, data_chunk=MC,
         )
         jax.block_until_ready(out[0].w)
@@ -73,7 +73,7 @@ def main():
         t0 = time.perf_counter()
         finals, _, rejected = run_sgld_megafused(
             model, params0, ks, phi, y, m=PRESET.m, config=config,
-            burnin=EPOCHS, maxepoch=0, collect_fn=lambda p: (),
+            burnin=EPOCHS, maxepoch=0, collect_fn=collect_nothing,
             chain_block=CB, data_chunk=MC,
         )
         jax.block_until_ready(finals.w)

@@ -1,0 +1,145 @@
+"""Fully-fused Pallas SGLD transition kernel (`run_sgld_megafused`).
+
+Interpret-mode checks on CPU. The megafused kernel shares the update law and
+the per-epoch minibatch stream with `run_sgld_chains_fused` but runs its
+likelihood path in bf16 and draws noise in-kernel on TPU; here we run
+interpret mode, where Langevin noise is injected (threefry) so determinism
+checks are possible. Equivalence vs the XLA-op-graph path is exact (to bf16
+matmul tolerance) with ``langevin=False``; with noise we check statistical
+health: independent chains decorrelate, factors stay on the Stiefel
+manifold, and divergent steps are rejected per-chain without poisoning the
+rest of the fleet (the reference aborts the whole run to zeros instead,
+``GPT_SGLD.jl:422-424``).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpt_tpu.inference import SGLDConfig
+from gpt_tpu.inference.sgld import run_sgld_chains_fused, run_sgld_megafused
+from gpt_tpu.models import TensorGP, sample_core_indices
+from gpt_tpu.models.tensor_gp import TensorGPParams
+
+
+def _setup(key, C=4, N=40, D=3, n=16, r=4, Q=12, signal_var=0.1):
+    kI, kphi, ky, kp, ks = jax.random.split(key, 5)
+    I = sample_core_indices(kI, r, D, Q)
+    phi = jax.random.normal(kphi, (N, D, n), jnp.float32) * 0.3
+    y = jax.random.normal(ky, (N,), jnp.float32)
+    model = TensorGP(n=n, r=r, D=D, I=I, signal_var=signal_var)
+    params0 = jax.vmap(model.init_params)(jax.random.split(kp, C))
+    params0 = jax.tree.map(lambda a: a.astype(jnp.float32), params0)
+    return model, params0, phi, y, ks
+
+
+def _orth_err(U, r):
+    UtU = jnp.einsum("cdni,cdnj->cdij", U, U)
+    return float(jnp.max(jnp.abs(UtU - jnp.eye(r, dtype=UtU.dtype))))
+
+
+def test_megafused_matches_fused_xla_deterministic(key):
+    """langevin=False: megafused endpoint ≡ XLA fused endpoint (bf16 tol)."""
+    model, params0, phi, y, ks = _setup(key)
+    config = SGLDConfig(
+        eps=TensorGPParams(w=1e-4, U=1e-6), transport="polar", langevin=False
+    )
+    mf_final, _, rej = run_sgld_megafused(
+        model, params0, ks, phi, y, m=8, config=config, burnin=3, maxepoch=0,
+        collect_fn=lambda p: (), chain_block=2, data_chunk=4,
+    )
+    xla_final, _ = run_sgld_chains_fused(
+        model, params0, ks, phi, y, m=8, config=config, burnin=3, maxepoch=0,
+        collect_fn=lambda p: (),
+    )
+    assert int(rej) == 0
+    np.testing.assert_allclose(
+        np.asarray(mf_final.w), np.asarray(xla_final.params.w),
+        rtol=2e-3, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mf_final.U), np.asarray(xla_final.params.U),
+        rtol=2e-3, atol=2e-5,
+    )
+
+
+def test_megafused_block_shape_invariance(key):
+    """The (chain_block, data_chunk) tiling must not change the math."""
+    model, params0, phi, y, ks = _setup(key)
+    config = SGLDConfig(
+        eps=TensorGPParams(w=1e-4, U=1e-6), transport="polar", langevin=False
+    )
+    outs = []
+    for cb, dc in ((1, 8), (2, 4), (4, 2)):
+        final, _, _ = run_sgld_megafused(
+            model, params0, ks, phi, y, m=8, config=config, burnin=2,
+            maxepoch=0, collect_fn=lambda p: (), chain_block=cb, data_chunk=dc,
+        )
+        outs.append(final)
+    for other in outs[1:]:
+        np.testing.assert_allclose(
+            np.asarray(outs[0].w), np.asarray(other.w), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs[0].U), np.asarray(other.U), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_megafused_langevin_decorrelates_and_stays_on_manifold(key):
+    model, params0, phi, y, ks = _setup(key)
+    # identical params in every chain: only noise can separate them
+    tied = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[:1], a.shape), params0
+    )
+    config = SGLDConfig(
+        eps=TensorGPParams(w=1e-3, U=1e-5), transport="polar", langevin=True
+    )
+    final, _, rej = run_sgld_megafused(
+        model, tied, ks, phi, y, m=8, config=config, burnin=4, maxepoch=0,
+        collect_fn=lambda p: (), chain_block=2, data_chunk=4,
+    )
+    assert int(rej) == 0
+    spread = float(jnp.max(jnp.std(final.w, axis=0)))
+    assert spread > 1e-4, "chains received correlated (or zero) noise"
+    assert _orth_err(final.U, model.r) < 1e-3
+
+
+def test_megafused_rejects_divergent_chains_individually(key):
+    """A blown-up step size must be rejected (params held), not propagated."""
+    model, params0, phi, y, ks = _setup(key, signal_var=1e-6)
+    config = SGLDConfig(
+        eps=TensorGPParams(w=1e-4, U=1e4), transport="polar", langevin=False
+    )
+    final, _, rej = run_sgld_megafused(
+        model, params0, ks, phi, y, m=8, config=config, burnin=1, maxepoch=0,
+        collect_fn=lambda p: (), chain_block=2, data_chunk=4,
+    )
+    assert int(rej) > 0
+    # rejected chains keep their previous (orthonormal) factors
+    assert _orth_err(final.U, model.r) < 1e-3
+    assert bool(jnp.all(jnp.isfinite(final.w)))
+
+
+def test_megafused_collect_and_epoch_axis(key):
+    model, params0, phi, y, ks = _setup(key)
+    config = SGLDConfig(
+        eps=TensorGPParams(w=1e-4, U=1e-6), transport="polar", langevin=False
+    )
+    _, collected, _ = run_sgld_megafused(
+        model, params0, ks, phi, y, m=8, config=config, burnin=1, maxepoch=3,
+        collect_fn=lambda p: jnp.mean(p.w, axis=-1), chain_block=2,
+        data_chunk=4,
+    )
+    assert collected.shape == (3, 4)  # (kept epochs, chains)
+
+
+def test_megafused_rejects_unsupported_configs(key):
+    model, params0, phi, y, ks = _setup(key)
+    with pytest.raises(NotImplementedError):
+        run_sgld_megafused(
+            model, params0, ks, phi, y, m=8,
+            config=SGLDConfig(eps=1e-4, transport="cayley"),
+            burnin=1, maxepoch=0,
+        )
