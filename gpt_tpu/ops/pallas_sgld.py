@@ -108,9 +108,10 @@ def _sgld_kernel(
 ):
     if tpu_prng or not langevin:
         nw_ref = nU_ref = None
-        (wout_ref, Uout_ref, rej_ref, wbar_acc, Ubar_acc) = rest
+        (wout_ref, Uout_ref, rej_ref, wbar_acc, Ubar_acc, dirty_acc) = rest
     else:
-        (nw_ref, nU_ref, wout_ref, Uout_ref, rej_ref, wbar_acc, Ubar_acc) = rest
+        (nw_ref, nU_ref, wout_ref, Uout_ref, rej_ref, wbar_acc, Ubar_acc,
+         dirty_acc) = rest
     c = pl.program_id(0)
     j = pl.program_id(1)
     CBr = CB * r
@@ -125,6 +126,7 @@ def _sgld_kernel(
     def _():
         wbar_acc[...] = jnp.zeros_like(wbar_acc)
         Ubar_acc[...] = jnp.zeros_like(Ubar_acc)
+        dirty_acc[...] = jnp.zeros_like(dirty_acc)
 
     w = w_ref[0]            # (1, CBQ) f32, lanes (chain, q) chain-major
     phi = phi_ref[0]        # (mc, D, n) bf16
@@ -133,16 +135,39 @@ def _sgld_kernel(
 
     q2c = _group_matrix(CB, Q, transpose=False)           # (CBQ, CB)
     c2q = _group_matrix(CB, Q, transpose=True)            # (CB, CBQ)
+    r2c = _group_matrix(CB, r, transpose=False)           # (CBr, CB)
+
+    # ---- NaN/Inf containment --------------------------------------------
+    # Chains share matmul lanes, and a masked reduction matmul does NOT mask
+    # non-finite operands: NaN*0 = NaN, so ONE diverged chain's lanes would
+    # poison every chain in its block through fhat/g reductions. Rule: every
+    # value entering a cross-lane contraction is sanitised
+    # (where(isfinite, x, 0)) and the per-chain count of sanitised lanes is
+    # accumulated into a dirty flag; dirty chains are force-rejected at the
+    # update, exactly like the XLA path's per-chain guard.
+    def _scrub(x, groups_mat):
+        """(x sanitised, per-chain bad-lane count (1, CB))."""
+        ok = jnp.isfinite(x)
+        bad01 = jnp.where(ok, f32(0), f32(1))
+        bad_cnt = jnp.sum(bad01, axis=0, keepdims=True, dtype=f32)
+        cnt = jnp.dot(bad_cnt, groups_mat, preferred_element_type=f32,
+                      precision=_HI)                      # (1, CB)
+        return jnp.where(ok, x, f32(0)), cnt
+
+    w_c, dirty = _scrub(w, q2c)                           # (1, CBQ), (1, CB)
 
     # ---- forward: temp -> g -> V -> fhat --------------------------------
     # g_d[i, (chain, q)] = <phi_d(x_i), U_d[:, (chain, I[q, d])]> via the
     # block-diagonal one-hot expansion (the reference's computeV gather,
     # GPT_SGLD.jl:208-220, as a lane-layout MXU matmul).
     gs = []
+    Ucs = []
     V = None
     for d in range(D):
-        Ucat = U_ref[0, d]                                # (n, CBr) f32
-        temp = jnp.dot(phi[:, d, :], Ucat.astype(bf16),
+        Uc, cnt = _scrub(U_ref[0, d], r2c)                # (n, CBr) f32
+        Ucs.append(Uc)
+        dirty = dirty + cnt
+        temp = jnp.dot(phi[:, d, :], Uc.astype(bf16),
                        preferred_element_type=f32)        # (mc, CBr)
         if "expand" in stages:
             g = jnp.dot(temp.astype(bf16), ohf_ref[d],
@@ -152,10 +177,19 @@ def _sgld_kernel(
         gs.append(g)
         V = g if V is None else V * g
 
-    Vw = V * w                                            # (mc, CBQ)
+    V, cnt = _scrub(V, q2c)                               # Π g_d can overflow
+    dirty = dirty + cnt
+    Vw, cnt = _scrub(V * w_c, q2c)
+    dirty = dirty + cnt
     fhat = jnp.dot(Vw, q2c, preferred_element_type=f32,
                    precision=_HI)                         # (mc, CB)
     gbar = (scale / signal_var) * wt * (y - fhat)         # (mc, CB)
+    okg = jnp.isfinite(gbar)
+    bad_g = jnp.sum(jnp.where(okg, f32(0), f32(1)), axis=0, keepdims=True,
+                    dtype=f32)
+    # gbar is (mc, CB): columns ARE chains, no lane-group reduce needed
+    dirty = dirty + bad_g
+    gbar = jnp.where(okg, gbar, f32(0))
     gbar_lane = jnp.dot(gbar, c2q, preferred_element_type=f32,
                         precision=_HI)                    # (mc, CBQ)
 
@@ -163,7 +197,7 @@ def _sgld_kernel(
 
     # ---- backward: leave-one-out products -> Ubar accumulation ----------
     if "bwd" in stages:
-        Vbar = gbar_lane * w                              # (mc, CBQ)
+        Vbar = gbar_lane * w_c                            # (mc, CBQ)
         sufs = [None] * D
         s = None
         for d in range(D - 1, 0, -1):
@@ -179,7 +213,8 @@ def _sgld_kernel(
                 loo = pre
             else:
                 loo = pre * sufs[d]
-            gdbar = Vbar * loo                            # (mc, CBQ)
+            gdbar, cnt = _scrub(Vbar * loo, q2c)          # (mc, CBQ)
+            dirty = dirty + cnt
             tempbar = jnp.dot(gdbar.astype(bf16), ohb_ref[d],
                               preferred_element_type=f32)  # (mc, CBr)
             Ubar_acc[d] += jax.lax.dot_general(
@@ -188,6 +223,8 @@ def _sgld_kernel(
                 preferred_element_type=f32,
             )                                             # (n, CBr)
             pre = gs[d] if pre is None else pre * gs[d]
+
+    dirty_acc[...] += dirty
 
     # ---- parameter update (last data chunk only) ------------------------
     @pl.when(j == Mch - 1)
@@ -201,6 +238,10 @@ def _sgld_kernel(
         def noise_U(d):
             return _normals((n, CBr)) if tpu_prng else nU_ref[0, d]
 
+        # Dirty chains (non-finite lanes scrubbed anywhere this step) are
+        # force-rejected: their gradients were computed from zeroed data.
+        okd = jnp.where(dirty_acc[...] < 0.5, 1.0, 0.0)   # (1, CB)
+
         # Euclidean w: x <- x + eps*grad/2 + sqrt(eps)*xi, per-chain NaN reject
         gradw = wbar_acc[...] - w / sigma_w2
         w_new = w + 0.5 * eps_w * gradw
@@ -209,7 +250,7 @@ def _sgld_kernel(
         bad_w = jnp.where(jnp.isfinite(w_new), 0.0, 1.0)  # (1, CBQ)
         badc = jnp.dot(bad_w, q2c, preferred_element_type=f32,
                        precision=_HI)                     # (1, CB) counts
-        okw = jnp.where(badc < 0.5, 1.0, 0.0)             # (1, CB)
+        okw = jnp.where(badc < 0.5, 1.0, 0.0) * okd       # (1, CB)
         okw_lane = jnp.dot(okw, c2q, preferred_element_type=f32,
                            precision=_HI) > 0.5           # (1, CBQ)
         wout_ref[0] = jnp.where(okw_lane, w_new, w)
@@ -221,11 +262,10 @@ def _sgld_kernel(
         col = jax.lax.broadcasted_iota(jnp.int32, (CBr, CBr), 1)
         blockmask = (row // r) == (col // r)              # (CBr, CBr) bool
         eye = (row == col).astype(f32)
-        r2c = _group_matrix(CB, r, transpose=False)       # (CBr, CB)
         c2r = _group_matrix(CB, r, transpose=True)        # (CB, CBr)
 
         for d in range(D):
-            Ucat = U_ref[0, d]                            # (n, CBr)
+            Ucat = Ucs[d]                                 # (n, CBr) sanitised
             G = 0.5 * sqeU * Ubar_acc[d]
             if langevin:
                 G = G + noise_U(d)
@@ -245,6 +285,10 @@ def _sgld_kernel(
             # the divergence signal (healthy ~ eps_U*||mom||^2, diverged >> 1)
             err0 = None
             for it in range(ns_iters):
+                # contain non-finite lanes: X@B would leak inf*0 = NaN into
+                # every chain of the block; a zeroed frame fails the err0
+                # check (|0 - I| = 1) and is rejected, never written.
+                X = jnp.where(jnp.isfinite(X), X, 0.0)
                 F2 = jax.lax.dot_general(
                     X, X, dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=f32, precision=_HI,
@@ -255,17 +299,18 @@ def _sgld_kernel(
                 B = 1.5 * eye - 0.5 * F2m
                 X = jnp.dot(X, B, preferred_element_type=f32, precision=_HI)
 
-            rowerr = jnp.max(err0, axis=1, keepdims=True)       # (CBr, 1)
-            # per-chain max, broadcast back to that chain's lanes
-            err_lane = jnp.max(jnp.where(blockmask, rowerr, 0.0),
-                               axis=0, keepdims=True)           # (1, CBr)
-            bad_U = jnp.where(err_lane < orth_tol, 0.0, 1.0)    # NaN -> 1
-            badUc = jnp.dot(bad_U, r2c, preferred_element_type=f32,
+            # NaN-robust per-chain divergence test: count entries NOT
+            # (< tol) — an IEEE comparison is False for NaN, so NaN counts
+            # as bad. (Do NOT reduce err0 with max first: hardware max may
+            # drop NaN operands rather than propagate them.)
+            bad01 = jnp.where(err0 < orth_tol, 0.0, 1.0)        # (CBr, CBr)
+            bad_lane = jnp.sum(bad01, axis=0, keepdims=True)    # (1, CBr)
+            badUc = jnp.dot(bad_lane, r2c, preferred_element_type=f32,
                             precision=_HI)                      # (1, CB)
-            okU = jnp.where(badUc < 0.5, 1.0, 0.0)              # (1, CB)
+            okU = jnp.where(badUc < 0.5, 1.0, 0.0) * okd        # (1, CB)
             ok_lane = jnp.dot(okU, c2r, preferred_element_type=f32,
                               precision=_HI) > 0.5              # (1, CBr)
-            Uout_ref[0, d] = jnp.where(ok_lane, X, Ucat)
+            Uout_ref[0, d] = jnp.where(ok_lane, X, U_ref[0, d])
             rej = rej + (1.0 - okU)
 
         rej_ref[0] = rej.astype(jnp.int32)
@@ -302,7 +347,7 @@ def fused_sgld_step(
     langevin: bool = True,
     sigma_w2: float = 1.0,
     signal_var: float = 1.0,
-    orth_tol: float = 0.3,
+    orth_tol: float = 1e-2,
     interpret: bool = False,
     noise: tuple | None = None,
     stages: tuple = ("expand", "bwd", "manifold"),
@@ -376,6 +421,7 @@ def fused_sgld_step(
         scratch_shapes=[
             pltpu.VMEM((1, CBQ), jnp.float32),
             pltpu.VMEM((D, n, CBr), jnp.float32),
+            pltpu.VMEM((1, CB), jnp.float32),
         ],
         # w3/U4 update in place: without aliasing XLA must copy the whole
         # fleet's parameter buffers around every call inside the step scan,

@@ -80,7 +80,8 @@ def main():
         dt = time.perf_counter() - t0
         steps = C * num_batches * EPOCHS
         w_ok = jnp.all(jnp.isfinite(finals.w), axis=-1)
-        UtU = jnp.einsum("cdni,cdnj->cdij", finals.U, finals.U)
+        UtU = jnp.einsum("cdni,cdnj->cdij", finals.U, finals.U,
+                         precision=jax.lax.Precision.HIGHEST)
         orth_err = jnp.max(
             jnp.abs(UtU - jnp.eye(PRESET.r, dtype=UtU.dtype)), axis=(-3, -2, -1)
         )
