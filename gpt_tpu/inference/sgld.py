@@ -500,7 +500,7 @@ def run_sgld_megafused(
     eps = config.eps
     eps_w = float(eps.w if hasattr(eps, "w") else eps)
     eps_U = float(eps.U if hasattr(eps, "U") else eps)
-    ns_iters = 2
+    ns_iters = 1
 
     phi_pad = jnp.concatenate([phi, jnp.zeros_like(phi[:1])], axis=0)
     phi_bf16 = phi_pad.astype(jnp.bfloat16)

@@ -45,10 +45,16 @@ TPU-first design decisions:
 - **In-kernel noise.** ``pltpu.prng_random_bits`` + Box–Muller replaces
   threefry2x32 (measured ~1 ms per step at C=256 for the (C, D, n, r) normal
   draw — comparable to the entire rest of the step).
-- bf16 1-pass MXU for the likelihood path (same effective precision class as
-  the XLA path's DEFAULT-precision einsums on TPU), f32 HIGHEST for the
-  manifold algebra (NS correction must resolve ~1e-5 Gram residuals) and for
-  the small per-chain reduction matmuls (fhat must not round through bf16).
+- bf16 1-pass MXU for the likelihood path AND the tangent projection (both
+  perturb an already-stochastic gradient; the XLA path's DEFAULT-precision
+  einsums are the same class); f32 HIGHEST only where precision is
+  load-bearing: the Newton–Schulz correction (must resolve ~1e-5 Gram
+  residuals — measured long-run orthonormality 6e-7 over 500 steps) and the
+  small per-chain reduction matmuls (fhat must not round through bf16).
+- **NaN/Inf containment** (see the in-kernel comment): every operand of a
+  cross-lane contraction is scrubbed and per-chain scrub counts force-reject
+  dirty chains — without this, one diverged chain's NaN*0 poisons its whole
+  CB-block through the masked reduction matmuls.
 
 Semantics match ``make_sgld_step`` (polar transport, langevin on/off) with the
 same update law; noise streams differ (TPU PRNG vs threefry), so cross-path
@@ -273,13 +279,17 @@ def _sgld_kernel(
                 Uout_ref[0, d] = Ucat + sqeU * G
                 continue
             # tangent projection: mom = G - U sym(U^T G), blockwise
+            # Tangent projection in bf16: its error is a tiny perturbation of
+            # the (already stochastic) momentum and any non-tangency it
+            # leaves is wiped by the HIGHEST-precision polar correction.
             F1 = jax.lax.dot_general(
-                Ucat, G, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=f32, precision=_HI,
+                Ucat.astype(bf16), G.astype(bf16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
             )
             S = jnp.where(blockmask, 0.5 * (F1 + F1.T), 0.0)
-            mom = G - jnp.dot(Ucat, S, preferred_element_type=f32,
-                              precision=_HI)
+            mom = G - jnp.dot(Ucat.astype(bf16), S.astype(bf16),
+                              preferred_element_type=f32)
             X = Ucat + sqeU * mom
             # Newton–Schulz polar: X <- X (3I - X^T X)/2; first residual is
             # the divergence signal (healthy ~ eps_U*||mom||^2, diverged >> 1)

@@ -151,8 +151,8 @@ def headline_sgld(C=256, epochs=25):
     }
 
 
-def headline_sgld_megafused(C=4096, epochs=25, CB=8, mc=25):
-    from gpt_tpu.inference.sgld import run_sgld_megafused
+def headline_sgld_megafused(C=4096, epochs=25, CB=8, mc=50):
+    from gpt_tpu.inference.sgld import collect_nothing, run_sgld_megafused
 
     split = load_power_plant()
     P = CFG.POWER_PLANT_TENSOR_SMALL
@@ -173,7 +173,7 @@ def headline_sgld_megafused(C=4096, epochs=25, CB=8, mc=25):
     def go():
         finals, _, _ = run_sgld_megafused(
             model, params0, ks, phi, y, m=P.m, config=cfg,
-            burnin=epochs, maxepoch=0, collect_fn=lambda p: (),
+            burnin=epochs, maxepoch=0, collect_fn=collect_nothing,
             chain_block=CB, data_chunk=mc,
         )
         return finals.w
