@@ -453,7 +453,7 @@ def run_sgld_megafused(
     maxepoch: int,
     collect_fn: Callable | None = None,
     chain_block: int = 16,
-    data_chunk: int = 32,
+    data_chunk: int = 50,
     interpret: bool | None = None,
     stages: tuple = ("expand", "bwd", "manifold"),
 ):

@@ -185,3 +185,67 @@ def cross_chain_moments(samples, mesh=None):
     mean = jax.tree.map(lambda a: jnp.mean(a, axis=0), samples)
     var = jax.tree.map(lambda a: jnp.var(a, axis=0), samples)
     return mean, var
+
+
+def run_sgld_megafused_sharded(
+    model,
+    mesh,
+    key: jax.Array,
+    phi: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    num_chains: int,
+    m: int,
+    config: SGLDConfig,
+    burnin: int,
+    maxepoch: int,
+    collect_fn: Callable | None = None,
+    chain_block: int = 16,
+    data_chunk: int = 50,
+):
+    """Megafused Pallas fleet sharded over the mesh ``chain`` axis.
+
+    Each device advances its ``num_chains / n_dev`` chain shard with
+    :func:`gpt_tpu.inference.sgld.run_sgld_megafused`'s fully-fused
+    transition kernel (one ``pallas_call`` per step); chains are independent,
+    so the only collective is the ``psum`` of the rejection counter. This is
+    the multi-chip scaling path for the single-chip speed-of-light runner —
+    the reference's ``@parallel`` seed sweep (``GPT_SGLD_p.jl:146-243``) at
+    fleet scale: (chips) x (chain blocks per chip) x (chains per block).
+
+    ``params0`` is drawn inside (``num_chains`` i.i.d. inits); per-device
+    noise/permutation keys are ``fold_in(key, device_index)``, so a sharded
+    run equals the concatenation of the per-shard single-device runs with
+    those keys (tested exactly with ``langevin=False``).
+    Returns ``(final_params, collected, rejected_total)`` with global
+    (chain-stacked) leading axes.
+    """
+    from gpt_tpu.inference.sgld import _collect_params, run_sgld_megafused
+
+    ndev = mesh.shape[CHAIN_AXIS]
+    if num_chains % ndev:
+        raise ValueError(f"{num_chains} chains not divisible over {ndev} devices")
+    if collect_fn is None:
+        collect_fn = _collect_params
+    kinit, krun = jax.random.split(key)
+    params0 = jax.vmap(model.init_params)(jax.random.split(kinit, num_chains))
+    params0 = jax.tree.map(lambda a: a.astype(jnp.float32), params0)
+    keys = jax.vmap(lambda i: jax.random.fold_in(krun, i))(jnp.arange(ndev))
+
+    def shard_body(params_local, keys_local, phi_r, y_r):
+        final, collected, rej = run_sgld_megafused(
+            model, params_local, keys_local[0], phi_r, y_r, m=m,
+            config=config, burnin=burnin, maxepoch=maxepoch,
+            collect_fn=collect_fn, chain_block=chain_block,
+            data_chunk=data_chunk,
+        )
+        return final, collected, jax.lax.psum(rej, CHAIN_AXIS)
+
+    sharded = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(CHAIN_AXIS), P(CHAIN_AXIS), P(), P()),
+        out_specs=(P(CHAIN_AXIS), P(None, CHAIN_AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)(params0, keys, phi, y)

@@ -151,7 +151,7 @@ def headline_sgld(C=256, epochs=25):
     }
 
 
-def headline_sgld_megafused(C=4096, epochs=25, CB=8, mc=50):
+def headline_sgld_megafused(C=4096, epochs=25, CB=16, mc=50):
     from gpt_tpu.inference.sgld import collect_nothing, run_sgld_megafused
 
     split = load_power_plant()

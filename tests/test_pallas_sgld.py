@@ -143,3 +143,78 @@ def test_megafused_rejects_unsupported_configs(key):
             config=SGLDConfig(eps=1e-4, transport="cayley"),
             burnin=1, maxepoch=0,
         )
+
+
+def test_megafused_nan_containment_within_block(key):
+    """One corrupted chain must not poison its CB-block: masked reduction
+    matmuls leak NaN*0 across lanes unless the kernel scrubs operands
+    (the bug this guards against killed whole 8-chain blocks on TPU)."""
+    import numpy as np_
+
+    model, params0, phi, y, ks = _setup(key, C=4)
+    w = np_.array(params0.w)
+    U = np_.array(params0.U)
+    U[1, 0, 5, 3] = np_.nan     # chain 1: NaN factor entry
+    w[2, 3] = np_.nan           # chain 2: NaN core weight
+    U[3] *= 1e25                # chain 3: absurd but finite
+    corrupted = type(params0)(w=jnp.asarray(w), U=jnp.asarray(U))
+
+    config = SGLDConfig(
+        eps=TensorGPParams(w=1e-4, U=1e-6), transport="polar", langevin=True
+    )
+    final, _, rej = run_sgld_megafused(
+        model, corrupted, ks, phi, y, m=8, config=config, burnin=2,
+        maxepoch=0, collect_fn=lambda p: (), chain_block=4, data_chunk=4,
+    )
+    # chain 0 (clean, same block as all three corrupted chains) sampled on
+    assert bool(jnp.all(jnp.isfinite(final.w[0])))
+    assert bool(jnp.all(jnp.isfinite(final.U[0])))
+    UtU0 = jnp.einsum("dni,dnj->dij", final.U[0], final.U[0])
+    assert float(jnp.max(jnp.abs(UtU0 - jnp.eye(model.r)))) < 1e-3
+    assert float(jnp.max(jnp.abs(final.w[0] - params0.w[0]))) > 0  # moved
+    # corrupted chains were rejected (frozen), not "fixed" silently
+    assert int(rej) >= 2 * 2  # >= (w-NaN + U-NaN chains) x 2 steps
+    np.testing.assert_array_equal(np.asarray(final.U[1]), np.asarray(U[1]))
+    np.testing.assert_array_equal(np.asarray(final.w[2]), np.asarray(w[2]))
+
+
+def test_megafused_sharded_matches_per_shard_runs(key):
+    """(chips) x (blocks) x (chains): the shard_map fleet must equal the
+    concatenation of per-device megafused runs (langevin=False, exact)."""
+    from gpt_tpu.parallel import make_mesh
+    from gpt_tpu.parallel.chains import run_sgld_megafused_sharded
+
+    mesh = make_mesh()
+    ndev = mesh.shape["chain"]
+    C = 2 * ndev
+    model, _, phi, y, _ = _setup(key, C=C)
+    config = SGLDConfig(
+        eps=TensorGPParams(w=1e-4, U=1e-6), transport="polar", langevin=False
+    )
+    final, collected, rej = run_sgld_megafused_sharded(
+        model, mesh, key, phi, y, num_chains=C, m=8, config=config,
+        burnin=1, maxepoch=2, chain_block=2, data_chunk=4,
+    )
+    assert int(rej) == 0
+    assert collected.w.shape[:2] == (2, C)
+
+    # reference: per-device unsharded runs with the same key folding
+    kinit, krun = jax.random.split(key)
+    params0 = jax.vmap(model.init_params)(jax.random.split(kinit, C))
+    params0 = jax.tree.map(lambda a: a.astype(jnp.float32), params0)
+    Cl = C // ndev
+    for dev in range(ndev):
+        kd = jax.random.fold_in(krun, dev)
+        local0 = jax.tree.map(lambda a: a[dev * Cl:(dev + 1) * Cl], params0)
+        f_local, _, _ = run_sgld_megafused(
+            model, local0, kd, phi, y, m=8, config=config, burnin=1,
+            maxepoch=2, collect_fn=lambda p: (), chain_block=2, data_chunk=4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(final.w[dev * Cl:(dev + 1) * Cl]),
+            np.asarray(f_local.w), rtol=1e-6, atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(final.U[dev * Cl:(dev + 1) * Cl]),
+            np.asarray(f_local.U), rtol=1e-6, atol=1e-7,
+        )
