@@ -532,6 +532,8 @@ def run_sgld_megafused(
         eps_w, eps_U, float(config.decay), bool(config.langevin), ns_iters,
         float(model.sigma_w) ** 2, float(model.signal_var),
         tuple(stages), bool(interpret), burnin, maxepoch, collect_fn,
+        bool(config.adapt_eps), float(config.adapt_down),
+        float(config.adapt_up), float(config.adapt_floor),
     )
     return program(w3_0, U4_0, phi_bf16, y_pad, ohf, ohb, base_seed,
                    kperm_base, knoise_base)
@@ -556,6 +558,7 @@ def _megafused_program(
     params_cls, D, n, r, Q, CB, NB, mc, Mch, N, B, pad, m,
     eps_w, eps_U, decay, langevin, ns_iters, sigma_w2, signal_var,
     stages, interpret, burnin, maxepoch, collect_fn,
+    adapt=False, a_down=0.5, a_up=1.05, a_floor=1e-4,
 ):
     """Build (once per static configuration) the jitted megafused run program.
 
@@ -578,7 +581,7 @@ def _megafused_program(
 
     def batch_body(phi_bf16, y_pad, ohf, ohb, base_seed, knoise_base,
                    carry, b_and_idx):
-        w3, U4, step, rejected = carry
+        w3, U4, eta3, step, rejected = carry
         idx, wts = b_and_idx
         phi_b = phi_bf16[idx].reshape(Mch, mc, D, n)
         y_b = y_pad[idx].reshape(Mch, mc, 1)
@@ -588,8 +591,10 @@ def _megafused_program(
         t = step.astype(jnp.float32) + 1.0
         decay_t = t ** (-decay) if decay else 1.0
         scalars = jnp.stack(
-            [scale, eps_w * decay_t, eps_U * decay_t, jnp.float32(0.0)]
-        ).reshape(1, 4)
+            [scale, eps_w * decay_t, eps_U * decay_t, jnp.float32(a_down),
+             jnp.float32(a_up), jnp.float32(a_floor), jnp.float32(0.0),
+             jnp.float32(0.0)]
+        ).reshape(1, 8)
         seed = (base_seed + step * jnp.int32(2654435761 & 0x7FFFFFFF)).reshape(1, 1)
         noise = None
         if input_noise:
@@ -599,32 +604,38 @@ def _megafused_program(
                 jax.random.normal(k1, (NB, 1, CB * Q), jnp.float32),
                 jax.random.normal(k2, (NB, D, n, CB * r), jnp.float32),
             )
-        w3n, U4n, rej = fused_sgld_step(
+        outs = fused_sgld_step(
             w3, U4, phi_b, y_b, wts_b, ohf, ohb, scalars, seed,
             r=r, ns_iters=ns_iters, langevin=langevin,
             sigma_w2=sigma_w2, signal_var=signal_var,
             interpret=interpret, noise=noise, stages=stages,
+            eta3=eta3 if adapt else None,
         )
+        if adapt:
+            w3n, U4n, rej, eta3n = outs
+        else:
+            (w3n, U4n, rej), eta3n = outs, eta3
         rej_total = rejected + jnp.sum(rej, dtype=jnp.int32)
-        return (w3n, U4n, step + 1, rej_total), None
+        return (w3n, U4n, eta3n, step + 1, rej_total), None
 
     @jax.jit
     def run(w3, U4, phi_bf16, y_pad, ohf, ohb, base_seed, kperm_base,
             knoise_base):
         def epoch_body(carry, e):
-            w3, U4, step, rejected = carry
+            w3, U4, eta3, step, rejected = carry
             kperm = jax.random.fold_in(kperm_base, e)
             idx, wts = _epoch_batches(kperm, N, B, m, pad)
-            (w3, U4, step, rejected), _ = jax.lax.scan(
+            carry, _ = jax.lax.scan(
                 partial(batch_body, phi_bf16, y_pad, ohf, ohb, base_seed,
                         knoise_base),
-                (w3, U4, step, rejected),
+                (w3, U4, eta3, step, rejected),
                 (idx, wts),
             )
-            return (w3, U4, step, rejected), collect_fn(to_canonical(w3, U4))
+            return carry, collect_fn(to_canonical(carry[0], carry[1]))
 
-        carry0 = (w3, U4, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-        (w3f, U4f, _, rejected), collected = jax.lax.scan(
+        carry0 = (w3, U4, jnp.ones((NB, 1, CB), jnp.float32),
+                  jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        (w3f, U4f, _, _, rejected), collected = jax.lax.scan(
             epoch_body, carry0, jnp.arange(burnin + maxepoch)
         )
         collected = jax.tree.map(lambda a: a[burnin:], collected)

@@ -107,17 +107,20 @@ def _group_matrix(groups: int, width: int, transpose: bool):
 def _sgld_kernel(
     # static (closed over via functools.partial)
     D, n, r, Q, CB, mc, Mch, ns_iters, langevin, sigma_w2, signal_var, orth_tol,
-    tpu_prng, stages,
+    tpu_prng, stages, adapt,
     # refs
     scal_ref, seed_ref, phi_ref, y_ref, wt_ref, ohf_ref, ohb_ref, w_ref, U_ref,
     *rest,
 ):
+    rest = list(rest)
+    eta_ref = rest.pop(0) if adapt else None
     if tpu_prng or not langevin:
         nw_ref = nU_ref = None
-        (wout_ref, Uout_ref, rej_ref, wbar_acc, Ubar_acc, dirty_acc) = rest
     else:
-        (nw_ref, nU_ref, wout_ref, Uout_ref, rej_ref, wbar_acc, Ubar_acc,
-         dirty_acc) = rest
+        nw_ref, nU_ref = rest.pop(0), rest.pop(0)
+    wout_ref, Uout_ref, rej_ref = rest.pop(0), rest.pop(0), rest.pop(0)
+    etaout_ref = rest.pop(0) if adapt else None
+    wbar_acc, Ubar_acc, dirty_acc = rest
     c = pl.program_id(0)
     j = pl.program_id(1)
     CBr = CB * r
@@ -248,11 +251,25 @@ def _sgld_kernel(
         # force-rejected: their gradients were computed from zeroed data.
         okd = jnp.where(dirty_acc[...] < 0.5, 1.0, 0.0)   # (1, CB)
 
+        # Per-chain step-size adaptation: eta (1, CB) multiplies eps for
+        # each chain's lanes. Stable chains keep eta = 1 (bitwise-identical
+        # to the fixed-eps program); a chain that rejects halves its own eta
+        # and creeps back up, without slowing its blockmates — the per-chain
+        # refinement of SGLDConfig.adapt_eps's fleet-global backoff.
+        if adapt:
+            eta = eta_ref[0]                              # (1, CB)
+            eta_q = jnp.dot(eta, c2q, preferred_element_type=f32,
+                            precision=_HI)                # (1, CBQ)
+        else:
+            eta = None
+            eta_q = 1.0
+
         # Euclidean w: x <- x + eps*grad/2 + sqrt(eps)*xi, per-chain NaN reject
         gradw = wbar_acc[...] - w / sigma_w2
-        w_new = w + 0.5 * eps_w * gradw
+        w_new = w + 0.5 * eps_w * eta_q * gradw
         if langevin:
-            w_new = w_new + jnp.sqrt(eps_w) * noise_w()
+            scale_n = jnp.sqrt(eps_w * eta_q) if adapt else jnp.sqrt(eps_w)
+            w_new = w_new + scale_n * noise_w()
         bad_w = jnp.where(jnp.isfinite(w_new), 0.0, 1.0)  # (1, CBQ)
         badc = jnp.dot(bad_w, q2c, preferred_element_type=f32,
                        precision=_HI)                     # (1, CB) counts
@@ -263,12 +280,17 @@ def _sgld_kernel(
         rej = 1.0 - okw                                   # (1, CB)
 
         # Stiefel factors: project to tangent, polar-retract, NS-fused check.
-        sqeU = jnp.sqrt(eps_U)
         row = jax.lax.broadcasted_iota(jnp.int32, (CBr, CBr), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (CBr, CBr), 1)
         blockmask = (row // r) == (col // r)              # (CBr, CBr) bool
         eye = (row == col).astype(f32)
         c2r = _group_matrix(CB, r, transpose=True)        # (CB, CBr)
+        if adapt:
+            eta_r = jnp.dot(eta, c2r, preferred_element_type=f32,
+                            precision=_HI)                # (1, CBr)
+            sqeU = jnp.sqrt(eps_U * eta_r)
+        else:
+            sqeU = jnp.sqrt(eps_U)
 
         for d in range(D):
             Ucat = Ucs[d]                                 # (n, CBr) sanitised
@@ -324,6 +346,17 @@ def _sgld_kernel(
             rej = rej + (1.0 - okU)
 
         rej_ref[0] = rej.astype(jnp.int32)
+        if adapt:
+            a_down = scal_ref[0, 3]
+            a_up = scal_ref[0, 4]
+            a_floor = scal_ref[0, 5]
+            rejected_c = rej > 0.5                        # (1, CB)
+            eta_new = jnp.where(
+                rejected_c,
+                jnp.maximum(a_floor, eta * a_down),
+                jnp.minimum(1.0, eta * a_up),
+            )
+            etaout_ref[0] = eta_new
 
 
 def block_onehots(onehot: jnp.ndarray, CB: int):
@@ -349,7 +382,7 @@ def fused_sgld_step(
     wts: jnp.ndarray,     # (Mch, mc, 1) f32
     ohf: jnp.ndarray,     # (D, CB*r, CB*Q) bf16 — see block_onehots
     ohb: jnp.ndarray,     # (D, CB*Q, CB*r) bf16
-    scalars: jnp.ndarray, # (1, 4) f32: [scale, eps_w, eps_U, unused]
+    scalars: jnp.ndarray, # (1, 8) f32: [scale, eps_w, eps_U, adapt_down, adapt_up, adapt_floor, 0, 0]
     seed: jnp.ndarray,    # (1, 1) int32
     *,
     r: int,
@@ -361,14 +394,18 @@ def fused_sgld_step(
     interpret: bool = False,
     noise: tuple | None = None,
     stages: tuple = ("expand", "bwd", "manifold"),
+    eta3: jnp.ndarray | None = None,  # (NB, 1, CB) f32 per-chain step scale
 ):
     """One fused SGLD transition for the whole fleet. Returns
-    ``(w3_new, U4_new, rejected (NB, 1, CB) int32)``.
+    ``(w3_new, U4_new, rejected (NB, 1, CB) int32[, eta3_new])``.
 
     ``noise=(nw (NB, 1, CB*Q), nU (NB, D, n, CB*r))`` supplies the Langevin
     normals as inputs instead of the in-kernel TPU PRNG — used on backends
     without ``prng_seed`` support (interpret mode) and for deterministic
-    testing.
+    testing. ``eta3`` enables per-chain step-size adaptation: each chain's
+    eps is scaled by its eta, halved (scalars[0,3]) when the chain rejects
+    and multiplied back up (scalars[0,4], capped at 1, floored at
+    scalars[0,5]) on success; a fourth output carries the updated etas.
     """
     NB, one, CBQ = w3.shape
     NB2, D, n, CBr = U4.shape
@@ -378,27 +415,43 @@ def fused_sgld_step(
     assert NB == NB2 and D == D2 and n == n2 and one == 1
     assert CBr == CB * r and CBQ == CB * Q
     tpu_prng = noise is None
+    adapt = eta3 is not None
 
     kernel = functools.partial(
         _sgld_kernel, D, n, r, Q, CB, mc, Mch, ns_iters, langevin,
         float(sigma_w2), float(signal_var), float(orth_tol), tpu_prng,
-        frozenset(stages),
+        frozenset(stages), adapt,
     )
-    noise_specs = []
-    noise_args = []
+    extra_specs = []
+    extra_args = []
+    aliases = {7: 0, 8: 1}
+    extra_out_specs = []
+    extra_out_shapes = []
+    if adapt:
+        extra_specs.append(
+            pl.BlockSpec((1, 1, CB), lambda c, j: (c, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        extra_args.append(eta3)
+        extra_out_specs.append(
+            pl.BlockSpec((1, 1, CB), lambda c, j: (c, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        extra_out_shapes.append(jax.ShapeDtypeStruct((NB, 1, CB), jnp.float32))
+        aliases[9] = 3  # eta3 updates in place too
     if not tpu_prng and langevin:
-        noise_specs = [
+        extra_specs += [
             pl.BlockSpec((1, 1, CBQ), lambda c, j: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, n, CBr), lambda c, j: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        noise_args = [noise[0], noise[1]]
+        extra_args += [noise[0], noise[1]]
     return pl.pallas_call(
         kernel,
         grid=(NB, Mch),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda c, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda c, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda c, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, mc, D, n), lambda c, j: (j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -414,7 +467,7 @@ def fused_sgld_step(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, n, CBr), lambda c, j: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + noise_specs,
+        ] + extra_specs,
         out_specs=[
             pl.BlockSpec((1, 1, CBQ), lambda c, j: (c, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -422,12 +475,12 @@ def fused_sgld_step(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, CB), lambda c, j: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + extra_out_specs,
         out_shape=[
             jax.ShapeDtypeStruct((NB, 1, CBQ), jnp.float32),
             jax.ShapeDtypeStruct((NB, D, n, CBr), jnp.float32),
             jax.ShapeDtypeStruct((NB, 1, CB), jnp.int32),
-        ],
+        ] + extra_out_shapes,
         scratch_shapes=[
             pltpu.VMEM((1, CBQ), jnp.float32),
             pltpu.VMEM((D, n, CBr), jnp.float32),
@@ -436,6 +489,6 @@ def fused_sgld_step(
         # w3/U4 update in place: without aliasing XLA must copy the whole
         # fleet's parameter buffers around every call inside the step scan,
         # which dwarfs the kernel's own cost at large C.
-        input_output_aliases={7: 0, 8: 1},
+        input_output_aliases=aliases,
         interpret=interpret,
-    )(scalars, seed, phi_b, y_b, wts, ohf, ohb, w3, U4, *noise_args)
+    )(scalars, seed, phi_b, y_b, wts, ohf, ohb, w3, U4, *extra_args)

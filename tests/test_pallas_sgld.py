@@ -218,3 +218,50 @@ def test_megafused_sharded_matches_per_shard_runs(key):
             np.asarray(final.U[dev * Cl:(dev + 1) * Cl]),
             np.asarray(f_local.U), rtol=1e-6, atol=1e-7,
         )
+
+
+def test_megafused_adapt_eps_identity_when_stable(key):
+    """adapt_eps with no rejections must be bitwise-identical to fixed eps
+    (eta stays 1 for every chain)."""
+    model, params0, phi, y, ks = _setup(key)
+    base = SGLDConfig(
+        eps=TensorGPParams(w=1e-4, U=1e-6), transport="polar", langevin=False
+    )
+    outs = []
+    for cfg in (base, dataclasses.replace(base, adapt_eps=True)):
+        final, _, rej = run_sgld_megafused(
+            model, params0, ks, phi, y, m=8, config=cfg, burnin=2,
+            maxepoch=0, collect_fn=lambda p: (), chain_block=2, data_chunk=4,
+        )
+        assert int(rej) == 0
+        outs.append(final)
+    np.testing.assert_array_equal(np.asarray(outs[0].w), np.asarray(outs[1].w))
+    np.testing.assert_array_equal(np.asarray(outs[0].U), np.asarray(outs[1].U))
+
+
+def test_megafused_adapt_eps_recovers_hot_config(key):
+    """A step size that rejects every fixed-eps step must self-recover with
+    per-chain adaptation: eta backs off until steps are accepted and the
+    chains actually move (the temperature-Kron divergence scenario)."""
+    model, params0, phi, y, ks = _setup(key)
+    hot = SGLDConfig(
+        eps=TensorGPParams(w=1e-4, U=10.0), transport="polar", langevin=False
+    )
+    frozen, _, rej_fixed = run_sgld_megafused(
+        model, params0, ks, phi, y, m=8, config=hot, burnin=4, maxepoch=0,
+        collect_fn=lambda p: (), chain_block=2, data_chunk=4,
+    )
+    # fixed eps: every U transport rejected, factors never move
+    assert int(rej_fixed) > 0
+    np.testing.assert_array_equal(np.asarray(frozen.U), np.asarray(params0.U))
+
+    adapted, _, rej_adapt = run_sgld_megafused(
+        model, params0, ks, phi, y,
+        m=8, config=dataclasses.replace(hot, adapt_eps=True),
+        burnin=4, maxepoch=0, collect_fn=lambda p: (), chain_block=2,
+        data_chunk=4,
+    )
+    moved = float(jnp.max(jnp.abs(adapted.U - params0.U)))
+    assert moved > 0, "adaptation never unblocked the chains"
+    UtU = jnp.einsum("cdni,cdnj->cdij", adapted.U, adapted.U)
+    assert float(jnp.max(jnp.abs(UtU - jnp.eye(model.r)))) < 1e-3
