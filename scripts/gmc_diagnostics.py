@@ -55,6 +55,11 @@ def main():
 
     model = TensorGP(n=P.n, r=P.r, D=D, I=I, signal_var=P.signal_var,
                      precision="highest")
+    # segmented execution: the tunneled chip kills single dispatches longer
+    # than ~1-2 min (observed: 600-epoch one-shot run -> "TPU device error";
+    # 60-epoch run fine), so the run is chained as (adaptive burn-in) +
+    # sampling segments, continuing params across dispatches.
+    SEG = 150
     cfg = GMCConfig(
         eps=TensorGPParams(w=P.epsw, U=P.epsU), num_leapfrog=L,
         jitter_steps=True, adapt_step_size=True,
@@ -70,16 +75,39 @@ def main():
     keys = jax.random.split(ks, C)
 
     collect = lambda p: model.predict(p, phi_probe)  # function-space probe
-    run = jax.jit(jax.vmap(partial(
-        run_gmc, model, phi=phi, y=y, config=cfg,
-        burnin=burnin, maxepoch=keep, collect_fn=collect,
-    )))
-    t0 = time.time()
-    _, probes, accept, eta_bar = run(params0, keys)
-    jax.block_until_ready(probes)
-    wall = time.time() - t0
 
-    probes = np.asarray(probes)  # (C, keep, 32)
+    t0 = time.time()
+    # 1. adaptive burn-in (one segment, eta adapted by dual averaging)
+    warm_run = jax.jit(jax.vmap(partial(
+        run_gmc, model, phi=phi, y=y, config=cfg,
+        burnin=burnin, maxepoch=0, collect_fn=lambda p: (),
+    )))
+    params, _, acc_b, eta_bar = warm_run(params0, keys)
+    jax.block_until_ready(params.w)
+    eta_med = float(jnp.median(eta_bar))
+    # 2. sampling segments with the adapted step frozen (shared median eta,
+    # the rstan-style one-step-size-per-run convention) — detailed balance
+    # holds exactly within every kept draw
+    cfg_frozen = GMCConfig(
+        eps=TensorGPParams(w=P.epsw * eta_med**2, U=P.epsU * eta_med**2),
+        num_leapfrog=L, jitter_steps=True, adapt_step_size=False,
+    )
+    seg_run = jax.jit(jax.vmap(partial(
+        run_gmc, model, phi=phi, y=y, config=cfg_frozen,
+        burnin=0, maxepoch=SEG, collect_fn=collect,
+    )))
+    probes_segs, accept_segs = [], [acc_b]
+    nseg = -(-keep // SEG)
+    for s in range(nseg):
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, s + 1))(keys)
+        params, pr, acc = seg_run(params, keys)
+        jax.block_until_ready(pr)
+        probes_segs.append(np.asarray(pr))
+        accept_segs.append(acc)
+    wall = time.time() - t0
+    probes = np.concatenate(probes_segs, axis=1)[:, :keep]  # (C, keep, 32)
+    accept = np.concatenate([np.asarray(a) for a in accept_segs], axis=-1)
+    eta_bar = np.asarray(eta_bar)
     rhat = np.asarray(potential_scale_reduction(jnp.asarray(probes)))
     ess = np.asarray(effective_sample_size(jnp.asarray(probes)))
     m = dict(
