@@ -59,7 +59,7 @@ def main():
     # than ~1-2 min (observed: 600-epoch one-shot run -> "TPU device error";
     # 60-epoch run fine), so the run is chained as (adaptive burn-in) +
     # sampling segments, continuing params across dispatches.
-    SEG = 150
+    SEG = max(50, 150 * 30 // L)  # keep each dispatch well under the limit
     cfg = GMCConfig(
         eps=TensorGPParams(w=P.epsw, U=P.epsU), num_leapfrog=L,
         jitter_steps=True, adapt_step_size=True,
@@ -77,13 +77,22 @@ def main():
     collect = lambda p: model.predict(p, phi_probe)  # function-space probe
 
     t0 = time.time()
-    # 1. adaptive burn-in (one segment, eta adapted by dual averaging)
+    # 1. adaptive burn-in, segmented like everything else (jittered-L epochs
+    # compute all L leapfrogs, so a 450-epoch burn-in in one dispatch blows
+    # the ~2 min tunnel budget). Each segment restarts dual averaging from
+    # the chained params; the LAST segment's averaged eta is kept (it starts
+    # closest to the typical set).
+    SEGB = 100
+    nburn = -(-burnin // SEGB)
     warm_run = jax.jit(jax.vmap(partial(
         run_gmc, model, phi=phi, y=y, config=cfg,
-        burnin=burnin, maxepoch=0, collect_fn=lambda p: (),
+        burnin=SEGB, maxepoch=0, collect_fn=lambda p: (),
     )))
-    params, _, acc_b, eta_bar = warm_run(params0, keys)
-    jax.block_until_ready(params.w)
+    params, acc_b = params0, None
+    for b in range(nburn):
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, 1000 + b))(keys)
+        params, _, acc_b, eta_bar = warm_run(params, keys)
+        jax.block_until_ready(params.w)
     eta_med = float(jnp.median(eta_bar))
     # 2. sampling segments with the adapted step frozen (shared median eta,
     # the rstan-style one-step-size-per-run convention) — detailed balance
