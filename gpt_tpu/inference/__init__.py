@@ -1,9 +1,11 @@
 from gpt_tpu.inference.sgld import (
     SGLDConfig,
+    collect_nothing,
     make_sgld_step,
     run_sgld,
     run_sgld_chains,
     run_sgld_chains_fused,
+    run_sgld_megafused,
 )
 from gpt_tpu.inference.gmc import GMCConfig, run_gmc
 from gpt_tpu.inference.gibbs import GibbsConfig, gibbs_sweep, run_gibbs, init_gibbs_params
@@ -30,6 +32,8 @@ from gpt_tpu.inference.hyper import (
 )
 
 __all__ = [
+    "run_sgld_megafused",
+    "collect_nothing",
     "CFGibbsConfig",
     "cf_gibbs_sweep",
     "rotated_w_init",

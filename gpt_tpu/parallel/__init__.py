@@ -7,6 +7,7 @@ from gpt_tpu.parallel.mesh import (
 )
 from gpt_tpu.parallel.chains import (
     make_multichip_sgld_step,
+    run_sgld_megafused_sharded,
     run_sharded_chains,
     cross_chain_moments,
 )
@@ -23,6 +24,7 @@ from gpt_tpu.parallel.distributed import (
 )
 
 __all__ = [
+    "run_sgld_megafused_sharded",
     "make_mesh",
     "make_feature_mesh",
     "make_chain_feature_mesh",

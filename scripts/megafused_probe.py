@@ -19,8 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp
 
-from gpt_tpu.data import load_power_plant
-from gpt_tpu.experiments.configs import POWER_PLANT_TENSOR_SMALL as PRESET
+from gpt_tpu.data import load_kin40k, load_power_plant
+from gpt_tpu.experiments import configs as _CFG
 from gpt_tpu.features import sample_tensor_rff, tensor_features, tensor_phi_scale
 from gpt_tpu.inference import SGLDConfig
 from gpt_tpu.inference.sgld import collect_nothing, run_sgld_megafused
@@ -31,17 +31,26 @@ args = [a for a in sys.argv[1:] if not a.startswith("--")]
 Cs = [int(a) for a in args] or [256, 1024, 4096]
 CB = 16
 MC = 32
+DATASET = "pp"
 for a in sys.argv[1:]:
     if a.startswith("--cb="):
         CB = int(a.split("=")[1])
     if a.startswith("--mc="):
         MC = int(a.split("=")[1])
+    if a.startswith("--preset="):
+        DATASET = a.split("=")[1]
+if DATASET == "kin40k":
+    PRESET = _CFG.KIN40K_TENSOR
+    load_split = load_kin40k
+else:
+    PRESET = _CFG.POWER_PLANT_TENSOR_SMALL
+    load_split = load_power_plant
 
 EPOCHS = 10
 
 
 def main():
-    split = load_power_plant()
+    split = load_split()
     key = jax.random.PRNGKey(17)
     kI, kf, kp, ks = jax.random.split(key, 4)
     D = split.X_train.shape[1]
@@ -59,7 +68,7 @@ def main():
     config = SGLDConfig(
         eps=TensorGPParams(w=PRESET.epsw, U=PRESET.epsU), transport="polar"
     )
-    print(f"CB={CB} mc={MC}")
+    print(f"preset={DATASET} n={PRESET.n} r={PRESET.r} Q={PRESET.Q} m={PRESET.m} CB={CB} mc={MC}")
     for C in Cs:
         params0 = jax.vmap(model.init_params)(jax.random.split(kp, C))
         t0 = time.perf_counter()
