@@ -231,3 +231,197 @@ def run_gmc(
     if config.adapt_step_size:
         return final, collected, accept_probs, jnp.exp(log_eta_bar)
     return final, collected, accept_probs
+
+
+def run_gmc_chains(
+    model,
+    params0_chains,
+    key: jax.Array,
+    phi: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    config: GMCConfig,
+    burnin: int,
+    maxepoch: int,
+    collect_fn: Callable | None = None,
+):
+    """Chain-MERGED GMC fleet: every chain advances through ONE program.
+
+    Same per-chain semantics as ``jax.vmap(run_gmc)`` — independent momenta,
+    per-chain Hamiltonians/MH tests, per-chain trajectory jitter and
+    dual-averaging state — but the fleet's full-data gradient is ONE merged
+    evaluation instead of C batched ones. Built for
+    ``TensorGP(contraction="merged")``, whose lane-merged matmuls
+    ``(N, n) @ (n, C·r)`` are the speed-of-light layout for the GMC hot loop
+    (the reference's full-batch gradient, ``GPT_SGLD.jl:684-805``); any model
+    whose ``log_lik``/``log_prior`` broadcast over a leading chain axis works.
+
+    ``params0_chains`` leaves carry a leading chain axis C. Returns
+    ``(final_params, collected, accept_probs (epochs, C)[, eta_bar (C,)])``.
+    PRNG streams differ from the vmapped runner (one fleet key vs per-chain
+    keys), so cross-runner agreement is statistical, not bitwise.
+    """
+    if collect_fn is None:
+        collect_fn = lambda p: p
+    manifolds = model.manifolds
+    event_ndims = model.event_ndims
+    C = jax.tree.leaves(params0_chains)[0].shape[0]
+    eps = config.eps
+    if isinstance(eps, (int, float)):
+        eps = jax.tree.map(lambda _: float(eps), params0_chains)
+
+    def sum_trailing(x, ev):
+        axes = tuple(range(x.ndim - int(ev), x.ndim))
+        return jnp.sum(x, axis=axes)
+
+    def kinetic(momenta):
+        """Per-chain kinetic energy → (C,)."""
+        leaves, treedef = jax.tree.flatten(momenta)
+        evs = treedef.flatten_up_to(event_ndims)
+        return sum(sum_trailing(m**2, ev) / 2 for m, ev in zip(leaves, evs))
+
+    def chain_where(cond, a, b):
+        """Per-chain select: cond (C,) broadcast over each leaf's event axes."""
+        def sel(x, z, ev):
+            c = cond.reshape((C,) + (1,) * int(ev))
+            return jnp.where(c, x, z)
+
+        leaves_a, treedef = jax.tree.flatten(a)
+        return jax.tree.unflatten(
+            treedef,
+            [
+                sel(x, z, ev)
+                for x, z, ev in zip(
+                    leaves_a,
+                    treedef.flatten_up_to(b),
+                    treedef.flatten_up_to(event_ndims),
+                )
+            ],
+        )
+
+    def logp(p):
+        return model.log_lik(p, phi, y) + model.log_prior(p)  # (C,)
+
+    # chains share no parameters, so grad of the summed log-joint IS the
+    # per-chain gradient stack — one merged backward for the whole fleet.
+    grad_logp = jax.grad(lambda p: jnp.sum(logp(p)))
+
+    def scale_eps(eps_tree, eta):
+        """Per-chain leapfrog eps: each leaf becomes a (C,) array e·η²."""
+        return jax.tree.map(lambda e: jnp.asarray(e, jnp.float32) * eta**2,
+                            eps_tree)
+
+    def tree_zip(params, *others):
+        leaves_p, treedef = jax.tree.flatten(params)
+        rest = [treedef.flatten_up_to(o) for o in others]
+        return treedef, list(zip(leaves_p, *rest))
+
+    def fleet_half_step(params, momenta, grads, eps_t):
+        """Momentum half-step with per-chain (C,) step sizes."""
+        treedef, rows = tree_zip(params, momenta, grads, manifolds,
+                                 event_ndims, eps_t)
+        out = []
+        for p, mom, g, man, ev, e in rows:
+            sqe = jnp.sqrt(e).reshape((C,) + (1,) * int(ev)).astype(p.dtype)
+            if man == "stiefel":
+                out.append(stiefel.project_tangent(p, mom + sqe * g / 2))
+            else:
+                out.append(mom + sqe * g / 2)
+        return jax.tree.unflatten(treedef, out)
+
+    def fleet_position_step(params, momenta, eps_t):
+        """Position step with per-chain (C,) geodesic times.
+
+        Stiefel leaves are (C, ..., n, r); the geodesic's time argument must
+        carry the leaf's MATRIX-batch shape (chain axis + any factor axes
+        before the final (n, r)), broadcast from (C,)."""
+        treedef, rows = tree_zip(params, momenta, manifolds, eps_t)
+        new_p, new_m = [], []
+        for p, mom, man, e in rows:
+            if man == "stiefel":
+                t = jnp.sqrt(e).reshape((C,) + (1,) * (p.ndim - 3))
+                a, b = stiefel.geodesic_with_momentum(
+                    p, mom, jnp.broadcast_to(t, p.shape[:-2]).astype(p.dtype)
+                )
+            else:
+                sqe = jnp.sqrt(e).reshape((C,) + (1,) * (p.ndim - 1))
+                a, b = p + sqe.astype(p.dtype) * mom, mom
+            new_p.append(a)
+            new_m.append(b)
+        return (jax.tree.unflatten(treedef, new_p),
+                jax.tree.unflatten(treedef, new_m))
+
+    def leapfrog(carry, i):
+        # endpoint gradient carried to the next iteration: L+1 evals, not 2L
+        params, momenta, grads, L, eps_t = carry
+        new_m = fleet_half_step(params, momenta, grads, eps_t)
+        new_p, new_m = fleet_position_step(params, new_m, eps_t)
+        new_g = grad_logp(new_p)
+        new_m = fleet_half_step(new_p, new_m, new_g, eps_t)
+        if L is None:
+            return (new_p, new_m, new_g, L, eps_t), None
+        take = i < L  # (C,) — per-chain jittered trajectory lengths
+        return (
+            chain_where(take, new_p, params),
+            chain_where(take, new_m, momenta),
+            chain_where(take, new_g, grads),
+            L,
+            eps_t,
+        ), None
+
+    def epoch_body(carry, e):
+        params, k, log_eta, log_eta_bar, h_bar = carry
+        if config.jitter_steps:
+            k, kmom, kacc, kL = jax.random.split(k, 4)
+            L = jax.random.randint(kL, (C,), 1, config.num_leapfrog + 1)
+        else:
+            k, kmom, kacc = jax.random.split(k, 3)
+            L = None
+        if config.adapt_step_size:
+            eta = jnp.where(e < burnin, jnp.exp(log_eta), jnp.exp(log_eta_bar))
+            eps_t = scale_eps(eps, eta)  # per-chain (C,) eps leaves
+        else:
+            eps_t = scale_eps(eps, jnp.ones((C,), jnp.float32))
+        momenta = _sample_momenta(kmom, params, manifolds)
+        H_old = logp(params) - kinetic(momenta)  # (C,)
+        (prop, prop_mom, _, _, _), _ = jax.lax.scan(
+            leapfrog, (params, momenta, grad_logp(params), L, eps_t),
+            jnp.arange(config.num_leapfrog),
+        )
+        H_new = logp(prop) - kinetic(prop_mom)
+        log_ratio = jnp.where(jnp.isfinite(H_new), H_new - H_old, -jnp.inf)
+        accept_prob = jnp.exp(jnp.minimum(log_ratio, 0.0))  # (C,)
+        accept = jax.random.uniform(kacc, (C,)) < accept_prob
+        new_params = chain_where(accept, prop, params)
+        if config.adapt_step_size:
+            it_f = e.astype(jnp.float32) + 1.0
+            w_eta = 1.0 / (it_f + jnp.float32(config.t0))
+            h_new = (1 - w_eta) * h_bar + w_eta * (
+                jnp.float32(config.target_accept)
+                - accept_prob.astype(jnp.float32)
+            )
+            mu = jnp.float32(jnp.log(10.0))
+            log_eta_new = (
+                mu - jnp.sqrt(it_f) / jnp.float32(config.gamma) * h_new
+            ).astype(jnp.float32)
+            pow_ = it_f ** jnp.float32(-config.kappa)
+            leb_new = (pow_ * log_eta_new + (1 - pow_) * log_eta_bar).astype(
+                jnp.float32
+            )
+            adapting = e < burnin
+            h_bar = jnp.where(adapting, h_new, h_bar)
+            log_eta = jnp.where(adapting, log_eta_new, log_eta)
+            log_eta_bar = jnp.where(adapting, leb_new, log_eta_bar)
+        return (new_params, k, log_eta, log_eta_bar, h_bar), (
+            collect_fn(new_params), accept_prob
+        )
+
+    zeros = jnp.zeros((C,), jnp.float32)
+    carry0 = (params0_chains, key, zeros, zeros, zeros)
+    (final, _, _, log_eta_bar, _), (collected, accept_probs) = jax.lax.scan(
+        epoch_body, carry0, jnp.arange(burnin + maxepoch)
+    )
+    collected = jax.tree.map(lambda a: a[burnin:], collected)
+    if config.adapt_step_size:
+        return final, collected, accept_probs, jnp.exp(log_eta_bar)
+    return final, collected, accept_probs

@@ -156,6 +156,26 @@ class TensorGP:
                 diff_phi=self.diff_phi,
             )
             return out.reshape(*lead, phi.shape[0])
+        if self.contraction in ("merged", "merged_onehot"):
+            # Chain-MERGED lanes: all chains' factor columns concatenate into
+            # the lane axis of one (N, n) @ (n, C·r) matmul per dimension —
+            # same FLOPs as the batched form, full MXU lanes (the full-batch
+            # GMC gradient's speed-of-light layout; see
+            # ops.contraction.fleet_tensor_predict).
+            from gpt_tpu.ops.contraction import fleet_tensor_predict
+
+            lead = params.w.shape[:-1]
+            C = 1
+            for s in lead:
+                C *= s
+            out = fleet_tensor_predict(
+                params.w.reshape(C, self.Q),
+                params.U.reshape(C, self.D, self.n, self.r),
+                self.I, phi,
+                mode="onehot" if self.contraction == "merged_onehot" else "gather",
+                precision=self.precision,
+            )
+            return out.reshape(*lead, phi.shape[0])
         if self.contraction == "dense":
             from gpt_tpu.ops.contraction import dense_core_predict
 

@@ -102,6 +102,48 @@ def dense_core_predict(w: jnp.ndarray, U: jnp.ndarray, I: jnp.ndarray,
     return jnp.einsum("...iq,...q->...i", V, w, precision=precision)
 
 
+def fleet_tensor_predict(w: jnp.ndarray, U: jnp.ndarray, I: jnp.ndarray,
+                         phi: jnp.ndarray, *, mode: str = "gather",
+                         precision=None) -> jnp.ndarray:
+    """Chain-MERGED prediction: the whole fleet's factor columns ride the MXU
+    lane axis of ONE matmul per dimension.
+
+    ``w (C, Q)``, ``U (C, D, n, r)``, ``phi (N, D, n)`` → ``fhat (C, N)``.
+
+    The batched-per-chain form (``tensor_predict`` under vmap) lowers to C·D
+    independent ``(N, n) @ (n, r)`` matmuls whose r ≈ 10–20 output columns
+    fill ≤ r/128 of the MXU lane axis. Because φ is SHARED across chains, the
+    per-dimension products concatenate for free: reshaping ``U`` to
+    ``(D, n, C·r)`` turns them into one ``(N, n) @ (n, C·r)`` matmul per
+    dimension — full lanes, identical FLOPs, identical math. This is the
+    full-batch GMC gradient's hot shape (``GPT_SGLD.jl:684-805``; e.g. PP
+    parity: (5000, 150) @ (150, 16·20)), where lane merging is the difference
+    between ~2.5% and >10% of f32 peak (SPEEDLIGHT.md).
+
+    ``mode`` picks the core-index expansion: ``"gather"`` indexes the tiny r
+    axis per dimension (cheap forward; backward is a scatter-add);
+    ``"onehot"`` contracts with the per-dimension ``(Q, r)`` indicator so both
+    directions are matmuls. Gradients via ``jax.grad`` — the transposed
+    matmuls are lane-merged too.
+    """
+    C, D, n, r = U.shape
+    N = phi.shape[0]
+    Um = jnp.transpose(U, (1, 2, 0, 3)).reshape(D, n, C * r)
+    V = None
+    for d in range(D):
+        td = jnp.einsum("in,nm->im", phi[:, d, :], Um[d],
+                        precision=precision).reshape(N, C, r)
+        if mode == "gather":
+            gd = td[:, :, I[:, d]]                                  # (N, C, Q)
+        elif mode == "onehot":
+            oh = (I[:, d][:, None] == jnp.arange(r)).astype(td.dtype)  # (Q, r)
+            gd = jnp.einsum("icr,qr->icq", td, oh, precision=precision)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        V = gd if V is None else V * gd
+    return jnp.einsum("icq,cq->ci", V, w, precision=precision)
+
+
 def tensor_predict(w: jnp.ndarray, U: jnp.ndarray, I: jnp.ndarray,
                    phi: jnp.ndarray, *, mode: str = "gather",
                    precision=None) -> jnp.ndarray:
