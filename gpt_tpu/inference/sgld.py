@@ -475,6 +475,13 @@ def run_sgld_megafused(
     bit-identical to the vmap path — equivalence is exact for
     ``langevin=False`` and statistical otherwise (``tests/test_pallas_sgld.py``).
 
+    ``adapt_eps`` here is PER-CHAIN (each chain's η lives in its kernel lanes)
+    and does NOT honor ``adapt_patience``: η regrows by ``adapt_up`` on every
+    clean step rather than after ``adapt_patience`` consecutive clean steps
+    (the XLA path's fleet-shared rule, ``make_sgld_step``). Same fixed point —
+    stable chains sit at η=1, diverging chains back off — but the recovery
+    transient differs between runners.
+
     Returns ``(params_final, collected, rejected_total)`` with params in the
     canonical (C, ...) layout.
     """
@@ -522,10 +529,9 @@ def run_sgld_megafused(
         return w3, U4
 
     w3_0, U4_0 = to_internal(params0_chains)
-    base_seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max,
+    kseed, kperm_base, knoise_base = jax.random.split(key, 3)
+    base_seed = jax.random.randint(kseed, (), 0, jnp.iinfo(jnp.int32).max,
                                    dtype=jnp.int32)
-    kperm_base = jax.random.split(key, 2)[1]
-    knoise_base = jax.random.split(key, 3)[2]
 
     program = _megafused_program(
         params_cls, D, n, r, Q, CB, NB, mc, Mch, N, B, pad, m,

@@ -410,6 +410,11 @@ def fused_sgld_step(
     NB, one, CBQ = w3.shape
     NB2, D, n, CBr = U4.shape
     Mch, mc, D2, n2 = phi_b.shape
+    if tuple(scalars.shape) != (1, 8):
+        raise ValueError(
+            f"scalars must be (1, 8) [scale, eps_w, eps_U, adapt_down, "
+            f"adapt_up, adapt_floor, 0, 0]; got {scalars.shape}"
+        )
     CB = CBr // r
     Q = CBQ // CB
     assert NB == NB2 and D == D2 and n == n2 and one == 1

@@ -16,9 +16,13 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/gpt_tpu_jax_cache")
@@ -35,11 +39,38 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    maxepoch = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     fold = load_movielens_100k("file")
     t0 = time.time()
-    run = run_movielens(fold, C.MOVIELENS_100K, jax.random.PRNGKey(17), maxepoch=200)
+    run = run_movielens(fold, C.MOVIELENS_100K, jax.random.PRNGKey(17),
+                        maxepoch=maxepoch)
     seconds = time.time() - t0
     hh = bayespmf_head_to_head(fold, run.best_pred)
+
+    # second leg: the BPMF-style conjugate CF Gibbs engine on the SAME split
+    # — the apples-to-apples inference comparison against BayesPMF
+    # (100k_movielensExperiment.jl:944-1129's GPT_fullw_gibbs capability)
+    from gpt_tpu.inference import run_cf_gibbs
+    from gpt_tpu.models.cf import CFBatch, CFModel, denormalize_and_cutoff
+
+    P = C.MOVIELENS_100K
+    gmodel = CFModel(n1=fold.num_users, n2=fold.num_movies, r=P.r,
+                     signal_var=P.signal_var, sigma_u=0.3)
+    t1 = time.time()
+    _, gcollected = run_cf_gibbs(
+        gmodel, gmodel.init_params(jax.random.PRNGKey(5)),
+        jax.random.PRNGKey(6), jnp.asarray(fold.train, jnp.float32),
+        burnin=40, maxepoch=160,
+    )
+    test_batch = CFBatch(
+        users=jnp.asarray(fold.test[:, 0], jnp.int32),
+        movies=jnp.asarray(fold.test[:, 1], jnp.int32),
+    )
+    gz = jax.vmap(lambda p: gmodel.predict(p, test_batch))(gcollected).mean(0)
+    gibbs_pred = np.asarray(
+        denormalize_and_cutoff(gz, fold.rating_mean, fold.rating_std))
+    gibbs_seconds = time.time() - t1
+    hh_g = bayespmf_head_to_head(fold, gibbs_pred)
 
     # cold-start slice: test ratings whose user has < 20 train ratings
     from gpt_tpu.diagnostics.cf_analysis import entity_frequencies
@@ -52,17 +83,25 @@ def main():
 
     bpmf = load_bayespmf_predictions()
     cold_ours = float(np.sqrt(np.mean((y_raw[cold] - run.best_pred[cold]) ** 2)))
+    cold_gibbs = float(np.sqrt(np.mean((y_raw[cold] - gibbs_pred[cold]) ** 2)))
     cold_bpmf = float(np.sqrt(np.mean((y_raw[cold] - bpmf[cold]) ** 2)))
 
     metrics = {
-        "rmse_ours": hh["rmse_ours"],
+        "rmse_sgld_sideinfo": hh["rmse_ours"],
+        "rmse_gibbs": hh_g["rmse_ours"],
         "rmse_bpmf": hh["rmse_bpmf"],
-        "cold_user_rmse_ours": cold_ours,
+        "cold_user_rmse_sgld": cold_ours,
+        "cold_user_rmse_gibbs": cold_gibbs,
         "cold_user_rmse_bpmf": cold_bpmf,
         "best_epoch": run.best_epoch,
-        "seconds": round(seconds, 1),
+        "sgld_epochs": maxepoch,
+        "seconds_sgld": round(seconds, 1),
+        "seconds_gibbs": round(gibbs_seconds, 1),
         "alignment_corr": float(np.corrcoef(y_raw, bpmf)[0, 1]),
     }
+    metrics["avg_rmse_curve_every100"] = [
+        round(float(v), 4) for v in run.avg_test_rmse[::100]
+    ]
     append_record(os.path.join(ROOT, "RECORDS.jsonl"), "ml100k_bayespmf_head_to_head", metrics)
     print(json.dumps(metrics, indent=2))
 
@@ -78,7 +117,9 @@ def main():
         (axes[1], "movie", "number of ratings on movie"),
     ):
         ours, bp = hh[f"{kind}_ours"], hh[f"{kind}_bpmf"]
-        ax.plot(ours.freqs, ours.rmse, label="tensor-GP (ours)")
+        gib = hh_g[f"{kind}_ours"]
+        ax.plot(ours.freqs, ours.rmse, label="tensor-GP SGLD side-info (ours)")
+        ax.plot(gib.freqs, gib.rmse, label="CF Gibbs (ours)")
         ax.plot(bp.freqs, bp.rmse, label="BayesPMF")
         ax.set_xlabel(xlabel)
         ax.set_ylabel("test RMSE")

@@ -77,8 +77,10 @@ fh = np.asarray(fhat[-AVG_LAST:])
 healthy = np.isfinite(fh).all(axis=(0, 2))  # (C,)
 mean_pred = fh[:, healthy].mean(axis=(0, 1))
 rmse_avg = float(split.y_std * np.sqrt(np.mean((mean_pred - np.asarray(y_test)) ** 2)))
+# healthy chains only: nanmean would exclude NaN but pass inf through,
+# making min_epoch_rmse inf whenever any chain diverges to inf
 per_epoch = split.y_std * np.sqrt(
-    np.nanmean((fh - np.asarray(y_test)) ** 2, axis=(1, 2))
+    np.mean((fh[:, healthy] - np.asarray(y_test)) ** 2, axis=(1, 2))
 )
 m = dict(
     chains=C, epochs=EPOCHS, avg_last=AVG_LAST,
