@@ -650,6 +650,56 @@ def _megafused_program(
     return run
 
 
+def megafused_supported(model, config: SGLDConfig) -> bool:
+    """Whether (model, config) can run on the megafused Pallas path."""
+    return (
+        getattr(model, "stiefel", True)
+        and config.transport == "polar"
+        and not config.rmsprop
+        and jax.default_backend() == "tpu"
+    )
+
+
+def run_sgld_auto(
+    model,
+    params0_chains,
+    key: jax.Array,
+    phi: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    m: int,
+    config: SGLDConfig,
+    burnin: int,
+    maxepoch: int,
+    collect_fn: Callable | None = None,
+    megafused_threshold: int = 256,
+):
+    """Dispatch a chain fleet to the best single-chip engine by fleet size.
+
+    SCALING_chains.md's measured envelope: the XLA op-graph path peaks at
+    ≤256 VMEM-resident chains (~630k chain-steps/s) and collapses past that;
+    the megafused Pallas kernel is monotone through 8192 chains and overtakes
+    the XLA path above ~256. This picks the envelope automatically:
+    ``C > megafused_threshold`` and :func:`megafused_supported` → megafused
+    kernel, otherwise the XLA fused-chain path (with the chain-merged
+    contraction where the model allows it).
+
+    Returns the megafused signature ``(params_final, collected, rejected)``
+    for both engines.
+    """
+    C = jax.tree.leaves(params0_chains)[0].shape[0]
+    if C > megafused_threshold and megafused_supported(model, config):
+        return run_sgld_megafused(
+            model, params0_chains, key, phi, y, m=m, config=config,
+            burnin=burnin, maxepoch=maxepoch, collect_fn=collect_fn,
+        )
+    final, collected = run_sgld_chains_fused(
+        model, params0_chains, key, phi, y, m=m, config=config,
+        burnin=burnin, maxepoch=maxepoch, collect_fn=collect_fn,
+    )
+    return final.params, collected, jnp.sum(final.rejected)
+
+
 def run_sgld_chains_fused(
     model,
     params0_chains,
