@@ -488,10 +488,11 @@ def run_sgld_megafused(
     from gpt_tpu.ops.contraction import core_indicator
     from gpt_tpu.ops.pallas_sgld import block_onehots, fused_sgld_step
 
-    if not getattr(model, "stiefel", True):
-        raise NotImplementedError("megafused runner requires stiefel factors")
-    if config.transport != "polar" or config.rmsprop:
-        raise NotImplementedError("megafused runner: polar transport, no rmsprop")
+    stiefel = bool(getattr(model, "stiefel", True))
+    if stiefel and config.transport != "polar":
+        raise NotImplementedError(
+            "megafused runner: Stiefel factors require polar transport"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -540,6 +541,8 @@ def run_sgld_megafused(
         tuple(stages), bool(interpret), burnin, maxepoch, collect_fn,
         bool(config.adapt_eps), float(config.adapt_down),
         float(config.adapt_up), float(config.adapt_floor),
+        stiefel, bool(config.rmsprop), float(config.rmsprop_alpha),
+        float(config.rmsprop_lambda),
     )
     return program(w3_0, U4_0, phi_bf16, y_pad, ohf, ohb, base_seed,
                    kperm_base, knoise_base)
@@ -565,6 +568,7 @@ def _megafused_program(
     eps_w, eps_U, decay, langevin, ns_iters, sigma_w2, signal_var,
     stages, interpret, burnin, maxepoch, collect_fn,
     adapt=False, a_down=0.5, a_up=1.05, a_floor=1e-4,
+    stiefel=True, rmsprop=False, rms_alpha=0.99, rms_lambda=1e-5,
 ):
     """Build (once per static configuration) the jitted megafused run program.
 
@@ -587,7 +591,7 @@ def _megafused_program(
 
     def batch_body(phi_bf16, y_pad, ohf, ohb, base_seed, knoise_base,
                    carry, b_and_idx):
-        w3, U4, eta3, step, rejected = carry
+        w3, U4, eta3, Gw3, GU4, step, rejected = carry
         idx, wts = b_and_idx
         phi_b = phi_bf16[idx].reshape(Mch, mc, D, n)
         y_b = y_pad[idx].reshape(Mch, mc, 1)
@@ -598,8 +602,8 @@ def _megafused_program(
         decay_t = t ** (-decay) if decay else 1.0
         scalars = jnp.stack(
             [scale, eps_w * decay_t, eps_U * decay_t, jnp.float32(a_down),
-             jnp.float32(a_up), jnp.float32(a_floor), jnp.float32(0.0),
-             jnp.float32(0.0)]
+             jnp.float32(a_up), jnp.float32(a_floor),
+             jnp.float32(rms_alpha), jnp.float32(rms_lambda)]
         ).reshape(1, 8)
         seed = (base_seed + step * jnp.int32(2654435761 & 0x7FFFFFFF)).reshape(1, 1)
         noise = None
@@ -610,38 +614,42 @@ def _megafused_program(
                 jax.random.normal(k1, (NB, 1, CB * Q), jnp.float32),
                 jax.random.normal(k2, (NB, D, n, CB * r), jnp.float32),
             )
-        outs = fused_sgld_step(
+        outs = list(fused_sgld_step(
             w3, U4, phi_b, y_b, wts_b, ohf, ohb, scalars, seed,
             r=r, ns_iters=ns_iters, langevin=langevin,
             sigma_w2=sigma_w2, signal_var=signal_var,
             interpret=interpret, noise=noise, stages=stages,
-            eta3=eta3 if adapt else None,
-        )
-        if adapt:
-            w3n, U4n, rej, eta3n = outs
-        else:
-            (w3n, U4n, rej), eta3n = outs, eta3
+            eta3=eta3 if adapt else None, stiefel=stiefel,
+            precond=(Gw3, GU4) if rmsprop else None,
+        ))
+        w3n, U4n, rej = outs[:3]
+        eta3n = outs[3] if adapt else eta3
+        Gw3n, GU4n = outs[-2:] if rmsprop else (Gw3, GU4)
         rej_total = rejected + jnp.sum(rej, dtype=jnp.int32)
-        return (w3n, U4n, eta3n, step + 1, rej_total), None
+        return (w3n, U4n, eta3n, Gw3n, GU4n, step + 1, rej_total), None
 
     @jax.jit
     def run(w3, U4, phi_bf16, y_pad, ohf, ohb, base_seed, kperm_base,
             knoise_base):
         def epoch_body(carry, e):
-            w3, U4, eta3, step, rejected = carry
             kperm = jax.random.fold_in(kperm_base, e)
             idx, wts = _epoch_batches(kperm, N, B, m, pad)
             carry, _ = jax.lax.scan(
                 partial(batch_body, phi_bf16, y_pad, ohf, ohb, base_seed,
                         knoise_base),
-                (w3, U4, eta3, step, rejected),
+                carry,
                 (idx, wts),
             )
             return carry, collect_fn(to_canonical(carry[0], carry[1]))
 
-        carry0 = (w3, U4, jnp.ones((NB, 1, CB), jnp.float32),
+        if rmsprop:
+            Gw0 = jnp.zeros((NB, 1, CB * Q), jnp.float32)
+            GU0 = jnp.zeros((NB, D, n, CB * r), jnp.float32)
+        else:  # zero-size placeholders — no HBM cost when unused
+            Gw0 = GU0 = jnp.zeros((0,), jnp.float32)
+        carry0 = (w3, U4, jnp.ones((NB, 1, CB), jnp.float32), Gw0, GU0,
                   jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-        (w3f, U4f, _, _, rejected), collected = jax.lax.scan(
+        (w3f, U4f, _, _, _, _, rejected), collected = jax.lax.scan(
             epoch_body, carry0, jnp.arange(burnin + maxepoch)
         )
         collected = jax.tree.map(lambda a: a[burnin:], collected)

@@ -107,19 +107,27 @@ def _group_matrix(groups: int, width: int, transpose: bool):
 def _sgld_kernel(
     # static (closed over via functools.partial)
     D, n, r, Q, CB, mc, Mch, ns_iters, langevin, sigma_w2, signal_var, orth_tol,
-    tpu_prng, stages, adapt,
+    tpu_prng, stages, adapt, stiefel, rmsprop,
     # refs
     scal_ref, seed_ref, phi_ref, y_ref, wt_ref, ohf_ref, ohb_ref, w_ref, U_ref,
     *rest,
 ):
     rest = list(rest)
     eta_ref = rest.pop(0) if adapt else None
+    if rmsprop:
+        Gw_ref, GU_ref = rest.pop(0), rest.pop(0)
+    else:
+        Gw_ref = GU_ref = None
     if tpu_prng or not langevin:
         nw_ref = nU_ref = None
     else:
         nw_ref, nU_ref = rest.pop(0), rest.pop(0)
     wout_ref, Uout_ref, rej_ref = rest.pop(0), rest.pop(0), rest.pop(0)
     etaout_ref = rest.pop(0) if adapt else None
+    if rmsprop:
+        Gwout_ref, GUout_ref = rest.pop(0), rest.pop(0)
+    else:
+        Gwout_ref = GUout_ref = None
     wbar_acc, Ubar_acc, dirty_acc = rest
     c = pl.program_id(0)
     j = pl.program_id(1)
@@ -264,12 +272,24 @@ def _sgld_kernel(
             eta = None
             eta_q = 1.0
 
+        # RMSprop preconditioner (GPT_SGLD.jl:1121-1237): per-element
+        # G <- aG + (1-a)g^2, step scale 1/(lam + sqrt(G)). Second moments
+        # update whether or not the step is rejected, like the XLA path.
+        if rmsprop:
+            rms_alpha = scal_ref[0, 6]
+            rms_lambda = scal_ref[0, 7]
+
         # Euclidean w: x <- x + eps*grad/2 + sqrt(eps)*xi, per-chain NaN reject
         gradw = wbar_acc[...] - w / sigma_w2
-        w_new = w + 0.5 * eps_w * eta_q * gradw
+        if rmsprop:
+            Gw = rms_alpha * Gw_ref[0] + (1.0 - rms_alpha) * gradw * gradw
+            Gwout_ref[0] = Gw
+            scale_w = 1.0 / (rms_lambda + jnp.sqrt(Gw))   # (1, CBQ)
+        else:
+            scale_w = 1.0
+        w_new = w + 0.5 * eps_w * eta_q * scale_w * gradw
         if langevin:
-            scale_n = jnp.sqrt(eps_w * eta_q) if adapt else jnp.sqrt(eps_w)
-            w_new = w_new + scale_n * noise_w()
+            w_new = w_new + jnp.sqrt(eps_w * eta_q * scale_w) * noise_w()
         bad_w = jnp.where(jnp.isfinite(w_new), 0.0, 1.0)  # (1, CBQ)
         badc = jnp.dot(bad_w, q2c, preferred_element_type=f32,
                        precision=_HI)                     # (1, CB) counts
@@ -279,7 +299,10 @@ def _sgld_kernel(
         wout_ref[0] = jnp.where(okw_lane, w_new, w)
         rej = 1.0 - okw                                   # (1, CB)
 
-        # Stiefel factors: project to tangent, polar-retract, NS-fused check.
+        # Factor matrices. Stiefel mode: project to tangent, polar-retract,
+        # NS-fused divergence check. Euclidean mode (stiefel=False, the
+        # r>n / GPNT-style Gaussian-prior factors): plain SGLD update with
+        # the -n*U prior gradient (GPT_SGLD.jl:426) and a NaN reject.
         row = jax.lax.broadcasted_iota(jnp.int32, (CBr, CBr), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (CBr, CBr), 1)
         blockmask = (row // r) == (col // r)              # (CBr, CBr) bool
@@ -290,15 +313,54 @@ def _sgld_kernel(
                             precision=_HI)                # (1, CBr)
             sqeU = jnp.sqrt(eps_U * eta_r)
         else:
+            eta_r = 1.0
             sqeU = jnp.sqrt(eps_U)
 
         for d in range(D):
             Ucat = Ucs[d]                                 # (n, CBr) sanitised
-            G = 0.5 * sqeU * Ubar_acc[d]
+            Ubar = Ubar_acc[d]
+            if not stiefel:
+                Ubar = Ubar - n * Ucat                    # N(0, 1/n) prior
+            if rmsprop:
+                GU = rms_alpha * GU_ref[0, d] + (1.0 - rms_alpha) * Ubar * Ubar
+                GUout_ref[0, d] = GU
+                scale_U = 1.0 / (rms_lambda + jnp.sqrt(GU))   # (n, CBr)
+
+            if not stiefel:
+                eff = eps_U * eta_r * (scale_U if rmsprop else 1.0)
+                drift = 0.5 * eff * Ubar
+                if langevin:
+                    drift = drift + jnp.sqrt(eff) * noise_U(d)
+                Unew = Ucat + drift
+                bad01 = jnp.where(jnp.isfinite(Unew), 0.0, 1.0)   # (n, CBr)
+                bad_lane = jnp.sum(bad01, axis=0, keepdims=True)
+                badUc = jnp.dot(bad_lane, r2c, preferred_element_type=f32,
+                                precision=_HI)                    # (1, CB)
+                okU = jnp.where(badUc < 0.5, 1.0, 0.0) * okd
+                ok_lane = jnp.dot(okU, c2r, preferred_element_type=f32,
+                                  precision=_HI) > 0.5            # (1, CBr)
+                Uout_ref[0, d] = jnp.where(ok_lane, Unew, Ucat)
+                rej = rej + (1.0 - okU)
+                continue
+
+            if rmsprop:
+                # geodesics need a scalar time per factor matrix: the mean of
+                # the elementwise RMSprop steps (GPT_SGLD.jl:1206-1210),
+                # reduced per (chain, d) via a ones-row + lane-group matmul
+                ssum = jnp.sum(scale_U, axis=0, keepdims=True)    # (1, CBr)
+                smean = jnp.dot(ssum, r2c, preferred_element_type=f32,
+                                precision=_HI) / (n * r)          # (1, CB)
+                e_mat = eps_U * (eta if adapt else 1.0) * smean   # (1, CB)
+                sqeU_d = jnp.sqrt(jnp.dot(e_mat, c2r,
+                                          preferred_element_type=f32,
+                                          precision=_HI))         # (1, CBr)
+            else:
+                sqeU_d = sqeU
+            G = 0.5 * sqeU_d * Ubar
             if langevin:
                 G = G + noise_U(d)
             if "manifold" not in stages:  # timing bisect only
-                Uout_ref[0, d] = Ucat + sqeU * G
+                Uout_ref[0, d] = Ucat + sqeU_d * G
                 continue
             # tangent projection: mom = G - U sym(U^T G), blockwise
             # Tangent projection in bf16: its error is a tiny perturbation of
@@ -312,7 +374,7 @@ def _sgld_kernel(
             S = jnp.where(blockmask, 0.5 * (F1 + F1.T), 0.0)
             mom = G - jnp.dot(Ucat.astype(bf16), S.astype(bf16),
                               preferred_element_type=f32)
-            X = Ucat + sqeU * mom
+            X = Ucat + sqeU_d * mom
             # Newton–Schulz polar: X <- X (3I - X^T X)/2; first residual is
             # the divergence signal (healthy ~ eps_U*||mom||^2, diverged >> 1)
             err0 = None
@@ -382,7 +444,7 @@ def fused_sgld_step(
     wts: jnp.ndarray,     # (Mch, mc, 1) f32
     ohf: jnp.ndarray,     # (D, CB*r, CB*Q) bf16 — see block_onehots
     ohb: jnp.ndarray,     # (D, CB*Q, CB*r) bf16
-    scalars: jnp.ndarray, # (1, 8) f32: [scale, eps_w, eps_U, adapt_down, adapt_up, adapt_floor, 0, 0]
+    scalars: jnp.ndarray, # (1, 8) f32: [scale, eps_w, eps_U, adapt_down, adapt_up, adapt_floor, rms_alpha, rms_lambda]
     seed: jnp.ndarray,    # (1, 1) int32
     *,
     r: int,
@@ -395,9 +457,11 @@ def fused_sgld_step(
     noise: tuple | None = None,
     stages: tuple = ("expand", "bwd", "manifold"),
     eta3: jnp.ndarray | None = None,  # (NB, 1, CB) f32 per-chain step scale
+    stiefel: bool = True,
+    precond: tuple | None = None,  # (Gw3 (NB,1,CB*Q), GU4 (NB,D,n,CB*r)) f32
 ):
     """One fused SGLD transition for the whole fleet. Returns
-    ``(w3_new, U4_new, rejected (NB, 1, CB) int32[, eta3_new])``.
+    ``(w3_new, U4_new, rejected (NB, 1, CB) int32[, eta3_new][, Gw3, GU4])``.
 
     ``noise=(nw (NB, 1, CB*Q), nU (NB, D, n, CB*r))`` supplies the Langevin
     normals as inputs instead of the in-kernel TPU PRNG — used on backends
@@ -406,6 +470,14 @@ def fused_sgld_step(
     eps is scaled by its eta, halved (scalars[0,3]) when the chain rejects
     and multiplied back up (scalars[0,4], capped at 1, floored at
     scalars[0,5]) on success; a fourth output carries the updated etas.
+
+    ``stiefel=False`` switches the factor update to Euclidean SGLD with the
+    Gaussian N(0, 1/n) prior gradient (the reference's ``-n*U`` term,
+    ``GPT_SGLD.jl:426``) — the r>n configuration where orthonormal frames do
+    not exist. ``precond`` carries the RMSprop second moments (updated
+    in-kernel and returned as two extra outputs; the Stiefel step uses the
+    per-matrix mean step scale as its scalar geodesic time,
+    ``GPT_SGLD.jl:1206-1210``).
     """
     NB, one, CBQ = w3.shape
     NB2, D, n, CBr = U4.shape
@@ -421,36 +493,42 @@ def fused_sgld_step(
     assert CBr == CB * r and CBQ == CB * Q
     tpu_prng = noise is None
     adapt = eta3 is not None
+    rmsprop = precond is not None
 
     kernel = functools.partial(
         _sgld_kernel, D, n, r, Q, CB, mc, Mch, ns_iters, langevin,
         float(sigma_w2), float(signal_var), float(orth_tol), tpu_prng,
-        frozenset(stages), adapt,
+        frozenset(stages), adapt, bool(stiefel), rmsprop,
     )
+    w_spec = pl.BlockSpec((1, 1, CBQ), lambda c, j: (c, 0, 0),
+                          memory_space=pltpu.VMEM)
+    U_spec = pl.BlockSpec((1, D, n, CBr), lambda c, j: (c, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    eta_spec = pl.BlockSpec((1, 1, CB), lambda c, j: (c, 0, 0),
+                            memory_space=pltpu.VMEM)
     extra_specs = []
     extra_args = []
     aliases = {7: 0, 8: 1}
     extra_out_specs = []
     extra_out_shapes = []
     if adapt:
-        extra_specs.append(
-            pl.BlockSpec((1, 1, CB), lambda c, j: (c, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
+        extra_specs.append(eta_spec)
         extra_args.append(eta3)
-        extra_out_specs.append(
-            pl.BlockSpec((1, 1, CB), lambda c, j: (c, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
+        aliases[8 + len(extra_args)] = 3 + len(extra_out_shapes)
+        extra_out_specs.append(eta_spec)
         extra_out_shapes.append(jax.ShapeDtypeStruct((NB, 1, CB), jnp.float32))
-        aliases[9] = 3  # eta3 updates in place too
+    if rmsprop:
+        for buf, spec, shape in (
+            (precond[0], w_spec, (NB, 1, CBQ)),
+            (precond[1], U_spec, (NB, D, n, CBr)),
+        ):
+            extra_specs.append(spec)
+            extra_args.append(buf)
+            aliases[8 + len(extra_args)] = 3 + len(extra_out_shapes)
+            extra_out_specs.append(spec)
+            extra_out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
     if not tpu_prng and langevin:
-        extra_specs += [
-            pl.BlockSpec((1, 1, CBQ), lambda c, j: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, n, CBr), lambda c, j: (c, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
+        extra_specs += [w_spec, U_spec]
         extra_args += [noise[0], noise[1]]
     return pl.pallas_call(
         kernel,

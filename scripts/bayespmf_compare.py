@@ -72,6 +72,12 @@ def main():
     gibbs_seconds = time.time() - t1
     hh_g = bayespmf_head_to_head(fold, gibbs_pred)
 
+    # posterior ensemble: the two engines (SGLD side-info / conjugate Gibbs)
+    # have different model biases; their averaged prediction is still a pure
+    # framework prediction (no test leakage) — reported as its own row
+    ens_pred = 0.5 * (np.asarray(run.best_pred) + gibbs_pred)
+    hh_e = bayespmf_head_to_head(fold, ens_pred)
+
     # cold-start slice: test ratings whose user has < 20 train ratings
     from gpt_tpu.diagnostics.cf_analysis import entity_frequencies
 
@@ -86,9 +92,12 @@ def main():
     cold_gibbs = float(np.sqrt(np.mean((y_raw[cold] - gibbs_pred[cold]) ** 2)))
     cold_bpmf = float(np.sqrt(np.mean((y_raw[cold] - bpmf[cold]) ** 2)))
 
+    cold_ens = float(np.sqrt(np.mean((y_raw[cold] - ens_pred[cold]) ** 2)))
     metrics = {
         "rmse_sgld_sideinfo": hh["rmse_ours"],
         "rmse_gibbs": hh_g["rmse_ours"],
+        "rmse_ensemble": hh_e["rmse_ours"],
+        "cold_user_rmse_ensemble": cold_ens,
         "rmse_bpmf": hh["rmse_bpmf"],
         "cold_user_rmse_sgld": cold_ours,
         "cold_user_rmse_gibbs": cold_gibbs,
@@ -117,9 +126,10 @@ def main():
         (axes[1], "movie", "number of ratings on movie"),
     ):
         ours, bp = hh[f"{kind}_ours"], hh[f"{kind}_bpmf"]
-        gib = hh_g[f"{kind}_ours"]
+        gib, ens = hh_g[f"{kind}_ours"], hh_e[f"{kind}_ours"]
         ax.plot(ours.freqs, ours.rmse, label="tensor-GP SGLD side-info (ours)")
         ax.plot(gib.freqs, gib.rmse, label="CF Gibbs (ours)")
+        ax.plot(ens.freqs, ens.rmse, label="SGLD+Gibbs ensemble (ours)")
         ax.plot(bp.freqs, bp.rmse, label="BayesPMF")
         ax.set_xlabel(xlabel)
         ax.set_ylabel("test RMSE")

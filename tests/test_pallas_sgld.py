@@ -265,3 +265,100 @@ def test_megafused_adapt_eps_recovers_hot_config(key):
     assert moved > 0, "adaptation never unblocked the chains"
     UtU = jnp.einsum("cdni,cdnj->cdij", adapted.U, adapted.U)
     assert float(jnp.max(jnp.abs(UtU - jnp.eye(model.r)))) < 1e-3
+
+
+def test_megafused_euclidean_matches_fused_xla(key):
+    """stiefel=False (Gaussian-prior factors): megafused ≡ XLA, langevin=False.
+
+    The Euclidean-factor mode lifts the r3 stiefel-only restriction
+    (VERDICT r3 ask #6) — the r>n configuration where orthonormal frames
+    don't exist."""
+    model, params0, phi, y, ks = _setup(key)
+    model = dataclasses.replace(model, stiefel=False)
+    params0 = jax.vmap(model.init_params)(
+        jax.random.split(jax.random.PRNGKey(31), 4)
+    )
+    config = SGLDConfig(
+        eps=TensorGPParams(w=1e-4, U=1e-6), transport="polar", langevin=False
+    )
+    mf_final, _, rej = run_sgld_megafused(
+        model, params0, ks, phi, y, m=8, config=config, burnin=3, maxepoch=0,
+        collect_fn=lambda p: (), chain_block=2, data_chunk=4,
+    )
+    xla_final, _ = run_sgld_chains_fused(
+        model, params0, ks, phi, y, m=8, config=config, burnin=3, maxepoch=0,
+        collect_fn=lambda p: (),
+    )
+    assert int(rej) == 0
+    np.testing.assert_allclose(
+        np.asarray(mf_final.w), np.asarray(xla_final.params.w),
+        rtol=2e-3, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mf_final.U), np.asarray(xla_final.params.U),
+        rtol=2e-3, atol=2e-5,
+    )
+
+
+def test_megafused_euclidean_r_gt_n(key):
+    """r > n runs in Euclidean mode (the ImageExperiment-style shape) and
+    stays finite — impossible on the Stiefel path."""
+    kI, kphi, ky, ks = jax.random.split(key, 4)
+    n, r, D, Q = 3, 6, 3, 10
+    I = sample_core_indices(kI, r, D, Q)
+    phi = jax.random.normal(kphi, (12, D, n), jnp.float32) * 0.3
+    y = jax.random.normal(ky, (12,), jnp.float32)
+    model = TensorGP(n=n, r=r, D=D, I=I, signal_var=0.1, stiefel=False)
+    params0 = jax.vmap(model.init_params)(
+        jax.random.split(jax.random.PRNGKey(33), 4)
+    )
+    config = SGLDConfig(
+        eps=TensorGPParams(w=1e-4, U=1e-5), transport="polar", langevin=True
+    )
+    final, _, rej = run_sgld_megafused(
+        model, params0, ks, phi, y, m=8, config=config, burnin=4, maxepoch=0,
+        collect_fn=lambda p: (), chain_block=2, data_chunk=4,
+    )
+    assert int(rej) == 0
+    assert bool(jnp.all(jnp.isfinite(final.w)))
+    assert bool(jnp.all(jnp.isfinite(final.U)))
+    # factors actually moved
+    assert float(jnp.max(jnp.abs(final.U - params0.U))) > 1e-6
+
+
+@pytest.mark.parametrize("stiefel", [True, False])
+def test_megafused_rmsprop_matches_fused_xla(key, stiefel):
+    """rmsprop preconditioning in-kernel ≡ the XLA path (langevin=False):
+    elementwise second moments for Euclidean leaves, per-matrix mean scalar
+    geodesic time for Stiefel leaves (GPT_SGLD.jl:1206-1210)."""
+    model, params0, phi, y, ks = _setup(key)
+    if not stiefel:
+        model = dataclasses.replace(model, stiefel=False)
+        params0 = jax.vmap(model.init_params)(
+            jax.random.split(jax.random.PRNGKey(35), 4)
+        )
+    config = SGLDConfig(
+        eps=TensorGPParams(w=1e-4, U=1e-6), transport="polar",
+        langevin=False, rmsprop=True,
+    )
+    mf_final, _, rej = run_sgld_megafused(
+        model, params0, ks, phi, y, m=8, config=config, burnin=3, maxepoch=0,
+        collect_fn=lambda p: (), chain_block=2, data_chunk=4,
+    )
+    xla_final, _ = run_sgld_chains_fused(
+        model, params0, ks, phi, y, m=8, config=config, burnin=3, maxepoch=0,
+        collect_fn=lambda p: (),
+    )
+    assert int(rej) == 0
+    # looser than the plain-SGLD parity check: the preconditioner divides by
+    # |g|, so the kernel's bf16 likelihood-path rounding becomes RELATIVE
+    # error in the step (1/(lam+sqrt(G)) ~ 1/|g| amplification) instead of
+    # being scaled down by eps
+    np.testing.assert_allclose(
+        np.asarray(mf_final.w), np.asarray(xla_final.params.w),
+        rtol=5e-2, atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mf_final.U), np.asarray(xla_final.params.U),
+        rtol=5e-2, atol=5e-3,
+    )
