@@ -56,6 +56,10 @@ class GMCConfig:
     gamma: float = 0.05
     t0: float = 10.0
     kappa: float = 0.75
+    # "taylor" = matmul-only scaling-and-squaring expm (float-exact at
+    # leapfrog-scale t; ~8x faster batched than Pade's scalar-bound LU on
+    # TPU — stiefel.expm_taylor). "pade" = jax.scipy expm (legacy streams).
+    geodesic_method: str = "pade"
 
 
 def _sample_momenta(key, params, manifolds):
@@ -97,11 +101,11 @@ def _half_step(params, momenta, grads, manifolds, eps):
     )
 
 
-def _position_step(params, momenta, manifolds, eps):
+def _position_step(params, momenta, manifolds, eps, method="pade"):
     def upd(p, mom, man, e):
         sqe = jnp.sqrt(jnp.asarray(e, p.dtype))
         if man == "stiefel":
-            return stiefel.geodesic_with_momentum(p, mom, sqe)
+            return stiefel.geodesic_with_momentum(p, mom, sqe, method)
         return p + sqe * mom, mom
 
     leaves_p, treedef = jax.tree.flatten(params)
@@ -157,7 +161,8 @@ def run_gmc(
             # the gradient dominates GMC epoch cost).
             params, momenta, grads = carry
             new_m = _half_step(params, momenta, grads, manifolds, eps_t)
-            new_p, new_m = _position_step(params, new_m, manifolds, eps_t)
+            new_p, new_m = _position_step(params, new_m, manifolds, eps_t,
+                                          config.geodesic_method)
             new_g = grad_logp(new_p)
             new_m = _half_step(new_p, new_m, new_g, manifolds, eps_t)
             if L is None:
@@ -244,6 +249,7 @@ def run_gmc_chains(
     burnin: int,
     maxepoch: int,
     collect_fn: Callable | None = None,
+    grad_backend: str = "xla",
 ):
     """Chain-MERGED GMC fleet: every chain advances through ONE program.
 
@@ -304,7 +310,18 @@ def run_gmc_chains(
 
     # chains share no parameters, so grad of the summed log-joint IS the
     # per-chain gradient stack — one merged backward for the whole fleet.
-    grad_logp = jax.grad(lambda p: jnp.sum(logp(p)))
+    # grad_backend="pallas" swaps in the fused chunk-streaming kernel
+    # (ops.pallas_sgld.make_fused_grad_fn): bf16 likelihood path, VMEM
+    # intermediates — MH stays exact because logp above (the accept ratio's
+    # only input) keeps the model's own (HIGHEST) precision.
+    if grad_backend == "pallas":
+        from gpt_tpu.ops.pallas_sgld import make_fused_grad_fn
+
+        grad_logp = make_fused_grad_fn(
+            model, phi, y, interpret=jax.default_backend() != "tpu"
+        )
+    else:
+        grad_logp = jax.grad(lambda p: jnp.sum(logp(p)))
 
     def scale_eps(eps_tree, eta):
         """Per-chain leapfrog eps: each leaf becomes a (C,) array e·η²."""
@@ -317,14 +334,16 @@ def run_gmc_chains(
         return treedef, list(zip(leaves_p, *rest))
 
     def fleet_half_step(params, momenta, grads, eps_t):
-        """Momentum half-step with per-chain (C,) step sizes."""
+        """Momentum half-step with per-chain (C,) step sizes; the tangent
+        re-projection runs lane-merged (project_tangent_fleet)."""
         treedef, rows = tree_zip(params, momenta, grads, manifolds,
                                  event_ndims, eps_t)
         out = []
         for p, mom, g, man, ev, e in rows:
             sqe = jnp.sqrt(e).reshape((C,) + (1,) * int(ev)).astype(p.dtype)
             if man == "stiefel":
-                out.append(stiefel.project_tangent(p, mom + sqe * g / 2))
+                out.append(
+                    stiefel.project_tangent_fleet(p, mom + sqe * g / 2))
             else:
                 out.append(mom + sqe * g / 2)
         return jax.tree.unflatten(treedef, out)
@@ -341,7 +360,8 @@ def run_gmc_chains(
             if man == "stiefel":
                 t = jnp.sqrt(e).reshape((C,) + (1,) * (p.ndim - 3))
                 a, b = stiefel.geodesic_with_momentum(
-                    p, mom, jnp.broadcast_to(t, p.shape[:-2]).astype(p.dtype)
+                    p, mom, jnp.broadcast_to(t, p.shape[:-2]).astype(p.dtype),
+                    config.geodesic_method,
                 )
             else:
                 sqe = jnp.sqrt(e).reshape((C,) + (1,) * (p.ndim - 1))

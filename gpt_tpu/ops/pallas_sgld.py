@@ -421,6 +421,211 @@ def _sgld_kernel(
             etaout_ref[0] = eta_new
 
 
+def _fleet_grad_kernel(
+    # static
+    D, n, Q, CB, mc, Mch, signal_var,
+    # refs
+    scal_ref, phi_ref, y_ref, wt_ref, Uhat_ref, w_ref,
+    gw_ref, gUhat_ref, wbar_acc, Ubarh_acc,
+):
+    """Likelihood-gradient kernel in the FOLDED layout: ``Û_d = U_d E_dᵀ``
+    (n, CB·Q) is precomputed outside, so the core-index expansion never
+    happens in-kernel — ``g_d = φ_d @ Û_d`` has full Q-wide lanes at CB=1
+    with ZERO block-diagonal redundancy (the fused SGLD kernel pays CB× on
+    its (CB·r, CB·Q) one-hot matmuls because it must carry U itself for the
+    manifold update; a grad-only consumer doesn't)."""
+    j = pl.program_id(1)
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    scale = scal_ref[0, 0]
+
+    @pl.when(j == 0)
+    def _():
+        wbar_acc[...] = jnp.zeros_like(wbar_acc)
+        Ubarh_acc[...] = jnp.zeros_like(Ubarh_acc)
+
+    w = w_ref[0]            # (1, CBQ) f32, lanes (chain, q)
+    phi = phi_ref[0]        # (mc, D, n) bf16
+    y = y_ref[0]            # (mc, 1) f32
+    wt = wt_ref[0]          # (mc, 1) f32
+    CBQ = CB * Q
+    q2c = _group_matrix(CB, Q, transpose=False)           # (CBQ, CB)
+    c2q = _group_matrix(CB, Q, transpose=True)            # (CB, CBQ)
+
+    w_c = jnp.where(jnp.isfinite(w), w, f32(0))
+    # gs retained in bf16: the LOO backward needs all D of them live, and
+    # their (mc, CB·Q) footprint is the kernel's VMEM budget — bf16 halves
+    # it, letting CB amortise the phi-chunk HBM reads across chains (the
+    # gradient is a bf16-class quantity throughout this kernel anyway)
+    gs = []
+    V = None
+    for d in range(D):
+        g = jnp.dot(phi[:, d, :], Uhat_ref[0, d],
+                    preferred_element_type=f32)           # (mc, CBQ)
+        gs.append(g.astype(bf16))
+        V = g if V is None else V * g
+    V = jnp.where(jnp.isfinite(V), V, f32(0))
+    Vw = jnp.where(jnp.isfinite(V * w_c), V * w_c, f32(0))
+    fhat = jnp.dot(Vw, q2c, preferred_element_type=f32,
+                   precision=_HI)                         # (mc, CB)
+    gbar = (scale / signal_var) * wt * (y - fhat)
+    gbar = jnp.where(jnp.isfinite(gbar), gbar, f32(0))
+    gbar_lane = jnp.dot(gbar, c2q, preferred_element_type=f32,
+                        precision=_HI)                    # (mc, CBQ)
+    wbar_acc[...] += jnp.sum(V * gbar_lane, axis=0, keepdims=True)
+
+    Vbar = (gbar_lane * w_c).astype(bf16)                 # (mc, CBQ)
+    sufs = [None] * D
+    s = None
+    for d in range(D - 1, 0, -1):
+        s = gs[d] if s is None else s * gs[d]
+        sufs[d - 1] = s
+    pre = None
+    for d in range(D):
+        if D == 1:
+            loo = jnp.ones_like(Vbar)
+        elif d == 0:
+            loo = sufs[0]
+        elif d == D - 1:
+            loo = pre
+        else:
+            loo = pre * sufs[d]
+        gdbar = Vbar * loo                                # (mc, CBQ) bf16
+        # Mosaic's is_finite wants f32; scrub through a cast
+        gdbar = jnp.where(jnp.isfinite(gdbar.astype(f32)), gdbar, bf16(0))
+        Ubarh_acc[d] += jax.lax.dot_general(
+            phi[:, d, :], gdbar,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )                                                 # (n, CBQ)
+        pre = gs[d] if pre is None else pre * gs[d]
+
+    @pl.when(j == Mch - 1)
+    def _emit():
+        gw_ref[0] = wbar_acc[...]
+        for d in range(D):
+            gUhat_ref[0, d] = Ubarh_acc[d]
+
+
+def fleet_grad_likelihood(w3, Uhat4, phi_b, y_b, wts_b, scalars, *,
+                          Q: int, signal_var: float, interpret: bool = False):
+    """Run :func:`_fleet_grad_kernel` over a (chain-blocks, data-chunks)
+    grid. ``w3 (NB, 1, CB·Q)`` f32, ``Uhat4 (NB, D, n, CB·Q)`` bf16,
+    ``phi_b (Mch, mc, D, n)`` bf16 → ``(gw3, gUhat4 f32)``."""
+    NB, one, CBQ = w3.shape
+    NB2, D, n, CBQ2 = Uhat4.shape
+    Mch, mc, D2, n2 = phi_b.shape
+    assert NB == NB2 and CBQ == CBQ2 and D == D2 and n == n2 and one == 1
+    CB = CBQ // Q
+    kernel = functools.partial(
+        _fleet_grad_kernel, D, n, Q, CB, mc, Mch, float(signal_var))
+    return pl.pallas_call(
+        kernel,
+        grid=(NB, Mch),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda c, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, mc, D, n), lambda c, j: (j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mc, 1), lambda c, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mc, 1), lambda c, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, n, CBQ), lambda c, j: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CBQ), lambda c, j: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, CBQ), lambda c, j: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, n, CBQ), lambda c, j: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NB, 1, CBQ), jnp.float32),
+            jax.ShapeDtypeStruct((NB, D, n, CBQ), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, CBQ), jnp.float32),
+            pltpu.VMEM((D, n, CBQ), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scalars, phi_b, y_b, wts_b, Uhat4, w3)
+
+
+def make_fused_grad_fn(model, phi: jnp.ndarray, y: jnp.ndarray, *,
+                       chain_block: int = 8, data_chunk: int = 125,
+                       interpret: bool = False):
+    """Build ``grad_logp(params_chains) -> param-tree gradients`` running the
+    whole fleet's full-batch log-joint gradient as ONE fused kernel call.
+
+    The GMC leapfrog hot path (``GPT_SGLD.jl:684-805``): the XLA merged-lane
+    gradient is HBM-bound on the D materialised (N, C, Q) core-product
+    intermediates (measured 2.4 ms/eval at PP parity shapes, precision-
+    independent — SPEEDLIGHT.md); this kernel streams the batch in
+    ``data_chunk`` rows with every intermediate VMEM-resident, accumulating
+    (∇w, ∇Û) across chunks in the FOLDED layout (see
+    :func:`_fleet_grad_kernel` — no one-hot expansion, no CB× redundancy).
+    The one-hot fold/unfold and the prior terms are tiny XLA ops outside.
+
+    bf16 likelihood path: fine for MH because the accept ratio is computed
+    from a separate HIGHEST-precision log-density — gradient rounding
+    perturbs the trajectory only (leapfrog is reversible for any
+    deterministic force field).
+    """
+    from gpt_tpu.ops.contraction import core_indicator
+
+    D, n, r, Q = model.D, model.n, model.r, model.Q
+    N = int(y.shape[0])
+    mc = int(data_chunk)
+    Mch = -(-N // mc)
+    pad = Mch * mc - N
+    phi_pad = jnp.concatenate(
+        [phi, jnp.zeros((pad,) + phi.shape[1:], phi.dtype)], axis=0)
+    y_pad = jnp.concatenate([y, jnp.zeros((pad,), y.dtype)], axis=0)
+    wts = jnp.concatenate(
+        [jnp.ones((N,), jnp.float32), jnp.zeros((pad,), jnp.float32)])
+    phi_b = phi_pad.astype(jnp.bfloat16).reshape(Mch, mc, D, n)
+    y_b = jnp.asarray(y_pad, jnp.float32).reshape(Mch, mc, 1)
+    wts_b = wts.reshape(Mch, mc, 1)
+    onehot = core_indicator(model.I, r, dtype=jnp.float32)  # (Q, D, r)
+    # scale=1: the FULL-batch gradient, not a minibatch estimate
+    scalars = jnp.array([[1.0, 0, 0, 0, 0, 0, 0, 0]], jnp.float32)
+    sigma_w2 = float(model.sigma_w) ** 2
+    signal_var = float(model.signal_var)
+    stiefel_mode = bool(getattr(model, "stiefel", True))
+
+    def grad_fn(params):
+        C = params.w.shape[0]
+        CB = 1
+        for cand in range(min(chain_block, C), 0, -1):
+            if C % cand == 0:
+                CB = cand
+                break
+        NB = C // CB
+        # fold: Û_d = U_d E_dᵀ (n, Q); lanes (chain, q) chain-major
+        Uhat = jnp.einsum("cdnr,qdr->cdnq", params.U, onehot)
+        Uhat4 = jnp.transpose(
+            Uhat.reshape(NB, CB, D, n, Q), (0, 2, 3, 1, 4)
+        ).reshape(NB, D, n, CB * Q).astype(jnp.bfloat16)
+        w3 = params.w.reshape(NB, 1, CB * Q)
+        gw3, gUhat4 = fleet_grad_likelihood(
+            w3, Uhat4, phi_b, y_b, wts_b, scalars,
+            Q=Q, signal_var=signal_var, interpret=interpret,
+        )
+        gw = gw3.reshape(C, Q) - params.w / sigma_w2
+        gUhat = jnp.transpose(
+            gUhat4.reshape(NB, D, n, CB, Q), (0, 3, 1, 2, 4)
+        ).reshape(C, D, n, Q)
+        # unfold (chain rule through the fold): Ū_d = Ûbar_d E_d
+        gU = jnp.einsum("cdnq,qdr->cdnr", gUhat, onehot)
+        if not stiefel_mode:
+            gU = gU - n * params.U  # Gaussian N(0, 1/n) prior
+        return type(params)(w=gw, U=gU)
+
+    return grad_fn
+
+
 def block_onehots(onehot: jnp.ndarray, CB: int):
     """Block-diagonal core-index expansion matrices for ``fused_sgld_step``.
 
@@ -530,6 +735,19 @@ def fused_sgld_step(
     if not tpu_prng and langevin:
         extra_specs += [w_spec, U_spec]
         extra_args += [noise[0], noise[1]]
+    base_out_specs = [
+        pl.BlockSpec((1, 1, CBQ), lambda c, j: (c, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D, n, CBr), lambda c, j: (c, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, CB), lambda c, j: (c, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    base_out_shapes = [
+        jax.ShapeDtypeStruct((NB, 1, CBQ), jnp.float32),
+        jax.ShapeDtypeStruct((NB, D, n, CBr), jnp.float32),
+        jax.ShapeDtypeStruct((NB, 1, CB), jnp.int32),
+    ]
     return pl.pallas_call(
         kernel,
         grid=(NB, Mch),
@@ -551,19 +769,8 @@ def fused_sgld_step(
             pl.BlockSpec((1, D, n, CBr), lambda c, j: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + extra_specs,
-        out_specs=[
-            pl.BlockSpec((1, 1, CBQ), lambda c, j: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, n, CBr), lambda c, j: (c, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CB), lambda c, j: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ] + extra_out_specs,
-        out_shape=[
-            jax.ShapeDtypeStruct((NB, 1, CBQ), jnp.float32),
-            jax.ShapeDtypeStruct((NB, D, n, CBr), jnp.float32),
-            jax.ShapeDtypeStruct((NB, 1, CB), jnp.int32),
-        ] + extra_out_shapes,
+        out_specs=base_out_specs + extra_out_specs,
+        out_shape=base_out_shapes + extra_out_shapes,
         scratch_shapes=[
             pltpu.VMEM((1, CBQ), jnp.float32),
             pltpu.VMEM((D, n, CBr), jnp.float32),

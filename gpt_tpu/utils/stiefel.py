@@ -54,14 +54,43 @@ def project_tangent(U: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
     return V - _einsum("...ij,...jk->...ik", U, sym)
 
 
-def _geodesic_blocks(U: jnp.ndarray, mom: jnp.ndarray, t) -> tuple[jnp.ndarray, jnp.ndarray]:
+def expm_taylor(X: jnp.ndarray, *, degree: int = 8, squarings: int = 4) -> jnp.ndarray:
+    """Matmul-only matrix exponential: scaling-and-squaring + Taylor.
+
+    ``expm(X) = taylor(X / 2^s)^(2^s)`` with a degree-``degree`` Taylor
+    series — batched matmuls only, no LU solve. XLA's batched small-matrix LU
+    (inside the Padé ``jax.scipy.linalg.expm``) is scalar-bound on TPU:
+    measured 2.3 ms per GMC leapfrog for 128 batched 40×40 expms, as much as
+    the entire fleet gradient. For ``‖X‖ ≤ 2^s / 4`` the truncation error is
+    ≤ 0.25^(d+1)/(d+1)! ≈ 1e-11 — below f32 roundoff, so geodesics through
+    this path match the Padé ones to float precision (asserted in
+    ``tests/test_stiefel.py``). GMC leapfrog times ``t = √ε·η`` put ``‖tA‖``
+    at ~1e-2, far inside that region.
+    """
+    scale = 2.0 ** (-squarings)
+    Xs = X * scale
+    eye = jnp.broadcast_to(jnp.eye(X.shape[-1], dtype=X.dtype), X.shape)
+    E = eye + Xs
+    term = Xs
+    for k in range(2, degree + 1):
+        term = _einsum_hi("...ij,...jk->...ik", term, Xs) / k
+        E = E + term
+    for _ in range(squarings):
+        E = _einsum_hi("...ij,...jk->...ik", E, E)
+    return E
+
+
+def _geodesic_blocks(U: jnp.ndarray, mom: jnp.ndarray, t,
+                     method: str = "pade") -> tuple[jnp.ndarray, jnp.ndarray]:
     """Shared core: returns ([U mom] @ E, expm(-tA)) for the 2r×2r system.
 
     The geodesic on V_{n,r} through ``U`` with tangent ``mom`` evaluates as
     ``[U mom] · expm(t·[[A, -momᵀmom], [I, A]])[:, :r] · expm(-tA)`` with
     ``A = Uᵀ mom`` (reference: ``GPT_SGLD.jl:19-37``; Edelman et al. 1998).
-    r is tiny (≤ ~50) so the expm is a small dense op; we vmap it over the
-    leading batch axes and let XLA batch the Padé evaluation.
+    r is tiny (≤ ~50) so the expm is a small dense op, vmapped over the
+    leading batch axes. ``method="taylor"`` routes both exponentials through
+    :func:`expm_taylor` (matmul-only; float-exact for leapfrog-scale ``t``
+    and ~8× faster batched on TPU than the Padé path's scalar-bound LU).
     """
     r = U.shape[-1]
     A = _einsum("...ji,...jk->...ik", U, mom)  # UᵀM, (..., r, r)
@@ -72,9 +101,12 @@ def _geodesic_blocks(U: jnp.ndarray, mom: jnp.ndarray, t) -> tuple[jnp.ndarray, 
     block = jnp.concatenate([top, bot], axis=-2)  # (..., 2r, 2r)
 
     t = jnp.asarray(t, dtype=U.dtype)
-    expm_fn = _expm
-    for _ in range(block.ndim - 2):
-        expm_fn = jax.vmap(expm_fn)
+    if method == "taylor":
+        expm_fn = expm_taylor
+    else:
+        expm_fn = _expm
+        for _ in range(block.ndim - 2):
+            expm_fn = jax.vmap(expm_fn)
     E = expm_fn(t[..., None, None] * block if t.ndim else t * block)
     mexp = expm_fn(-t[..., None, None] * A if t.ndim else -t * A)
 
@@ -87,7 +119,7 @@ def _normalize_columns(U: jnp.ndarray) -> jnp.ndarray:
     return U / norm
 
 
-def geodesic(U: jnp.ndarray, mom: jnp.ndarray, t) -> jnp.ndarray:
+def geodesic(U: jnp.ndarray, mom: jnp.ndarray, t, method: str = "pade") -> jnp.ndarray:
     """Geodesic endpoint on V_{n,r}; columns re-normalised to unit norm.
 
     Matches the endpoint semantics of the reference's ``geod``
@@ -95,22 +127,49 @@ def geodesic(U: jnp.ndarray, mom: jnp.ndarray, t) -> jnp.ndarray:
     handled by :func:`guard` at the call site.
     """
     r = U.shape[-1]
-    UME, mexp = _geodesic_blocks(U, mom, t)
+    UME, mexp = _geodesic_blocks(U, mom, t, method)
     new_U = _einsum("...nj,...jk->...nk", UME[..., :r], mexp)
     return _normalize_columns(new_U)
 
 
-def geodesic_with_momentum(U: jnp.ndarray, mom: jnp.ndarray, t) -> tuple[jnp.ndarray, jnp.ndarray]:
+def geodesic_with_momentum(U: jnp.ndarray, mom: jnp.ndarray, t,
+                           method: str = "pade") -> tuple[jnp.ndarray, jnp.ndarray]:
     """Geodesic endpoint and parallel-transported momentum.
 
     Matches ``geodboth`` (``GPT_SGLD.jl:40-59``): the endpoint's columns are
     re-normalised, the momentum is not.
     """
     r = U.shape[-1]
-    UME, mexp = _geodesic_blocks(U, mom, t)
+    UME, mexp = _geodesic_blocks(U, mom, t, method)
     new_U = _einsum("...nj,...jk->...nk", UME[..., :r], mexp)
     new_mom = _einsum("...nj,...jk->...nk", UME[..., r:], mexp)
     return _normalize_columns(new_U), new_mom
+
+
+def project_tangent_fleet(U: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
+    """Tangent projection for CHAIN-STACKED frames, chain axis merged into
+    the MXU lane axis.
+
+    ``U, V: (C, *batch, n, r)`` → same result as :func:`project_tangent`
+    per chain, but each batched slice computes ONE pair of
+    ``(n, C·r)``-shaped matmuls with the cross-chain blocks of ``UᵀV``
+    masked to zero, instead of C tiny ``(n, r)`` matmuls — XLA's batched
+    small-matmul path is dispatch-bound (measured 0.5 ms per GMC half-step
+    at C=16, D=8, r=20 regardless of precision; the merged form is one MXU
+    pass per batch slice).
+    """
+    C, r = U.shape[0], U.shape[-1]
+    Cr = C * r
+    Um = jnp.moveaxis(U, 0, -2).reshape(U.shape[1:-2] + (U.shape[-2], Cr))
+    Vm = jnp.moveaxis(V, 0, -2).reshape(Um.shape)
+    S = _einsum("...nm,...np->...mp", Um, Vm)            # (..., Cr, Cr)
+    i = jax.lax.broadcasted_iota(jnp.int32, (Cr, Cr), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (Cr, Cr), 1)
+    blockmask = (i // r) == (j // r)
+    sym = jnp.where(blockmask, (S + jnp.swapaxes(S, -1, -2)) / 2, 0.0)
+    out = Vm - _einsum("...nm,...mp->...np", Um, sym)
+    out = out.reshape(U.shape[1:-2] + (U.shape[-2], C, r))
+    return jnp.moveaxis(out, -2, 0)
 
 
 def cayley_retract(U: jnp.ndarray, G: jnp.ndarray, t) -> jnp.ndarray:

@@ -1,10 +1,22 @@
 """Multi-chain GMC with cross-chain convergence diagnostics → RECORDS.
 
-16 vmapped GMC chains on the PP tensor parity config; reports mean accept
-probability, split-R̂ and ESS of the posterior-mean prediction at held-out
-points (the function-space quantities the model is used for), matching the
-rstan Rhat/n_eff reporting the reference leaned on
-(``temperature_uk/tensor2d_kron.r:42-43``).
+A chain-MERGED GMC fleet (``run_gmc_chains`` + ``contraction="merged"`` +
+Taylor geodesics + the fused Pallas gradient) on the PP tensor parity config;
+reports mean accept probability, split-R̂ and ESS over BOTH probe families:
+
+- **function space** — posterior predictions at 32 held-out points (what the
+  model is used for), and
+- **parameter space** — symmetry-INVARIANT scalars: ``w_q²`` and the factor
+  alignments ``|U_d^T v|`` against a fixed probe vector. (Raw ``w``/``U``
+  coordinates are unusable for cross-chain R̂: flipping the sign of a factor
+  column and of the ``w_q`` it touches is an exact model symmetry, so chains
+  legitimately settle in different sign orthants. The lattice ``I`` pins
+  column *roles*, so sign is the only residual symmetry — squares and
+  absolute alignments are invariant.)
+
+Matches the rstan Rhat/n_eff reporting the reference leaned on
+(``temperature_uk/tensor2d_kron.r:42-43``), with per-chain accept/divergence
+stats the rstan reports also carry.
 """
 import os
 import sys
@@ -26,7 +38,8 @@ from gpt_tpu.data import load_power_plant
 from gpt_tpu.diagnostics.mcmc import effective_sample_size, potential_scale_reduction
 from gpt_tpu.experiments.configs import POWER_PLANT_TENSOR as P
 from gpt_tpu.features import sample_tensor_rff, tensor_features, tensor_phi_scale
-from gpt_tpu.inference import GMCConfig, SGLDConfig, run_gmc, run_sgld
+from gpt_tpu.inference import GMCConfig, SGLDConfig, run_sgld
+from gpt_tpu.inference.gmc import run_gmc_chains
 from gpt_tpu.models import TensorGP, sample_core_indices
 from gpt_tpu.models.tensor_gp import TensorGPParams
 from gpt_tpu.utils.records import append_record
@@ -35,11 +48,10 @@ RECORDS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 
 
 def main():
-    # defaults sized for convergence: jittered-L trajectories + enough kept
-    # epochs that per-probe ESS clears 100 (GMC runs ~2k leapfrogs/s, so 600
-    # epochs x 16 chains is a few minutes, not the reference's 38 h)
+    # kept epochs doubled vs r3 (VERDICT r3 ask #4): target R̂ ≤ 1.01,
+    # ESS min ≥ 400 at rstan-report quality
     argv = [int(a) for a in sys.argv[1:]]
-    C, burnin, keep, L = (argv + [16, 150, 450, 30][len(argv):])[:4]
+    C, burnin, keep, L = (argv + [16, 200, 900, 30][len(argv):])[:4]
     split = load_power_plant()
     key = jax.random.PRNGKey(23)
     kI, kf, kp, ks = jax.random.split(key, 4)
@@ -54,80 +66,97 @@ def main():
                                 P.length_scale, P.sigma_RBF, scale)
 
     model = TensorGP(n=P.n, r=P.r, D=D, I=I, signal_var=P.signal_var,
-                     precision="highest")
+                     precision="highest", contraction="merged")
+    vprobe = jax.random.normal(jax.random.fold_in(key, 99), (P.n,))
+    vprobe = vprobe / jnp.linalg.norm(vprobe)
+
+    def collect(p):
+        # p is chain-stacked (C, ...). function-space + invariant param-space
+        preds = model.predict(p, phi_probe)                      # (C, 32)
+        w2 = p.w[:, :32] ** 2                                    # (C, 32)
+        align = jnp.abs(jnp.einsum("cdnr,n->cdr", p.U, vprobe))  # (C, D, r)
+        align = align.reshape(p.w.shape[0], -1)[:, :32]
+        return jnp.concatenate([preds, w2, align], axis=-1)      # (C, 96)
+
     # segmented execution: the tunneled chip kills single dispatches longer
-    # than ~1-2 min (observed: 600-epoch one-shot run -> "TPU device error";
-    # 60-epoch run fine), so the run is chained as (adaptive burn-in) +
-    # sampling segments, continuing params across dispatches.
-    SEG = max(50, 150 * 30 // L)  # keep each dispatch well under the limit
+    # than ~1-2 min, so the run chains (adaptive burn-in) + sampling segments,
+    # continuing params across dispatches.
+    SEG = max(50, 150 * 30 // L)
     cfg = GMCConfig(
         eps=TensorGPParams(w=P.epsw, U=P.epsU), num_leapfrog=L,
         jitter_steps=True, adapt_step_size=True,
+        geodesic_method="taylor",
     )
-    # per-chain SGLD warm start (the parity recipe: GMC from random inits
-    # wastes its budget traversing the prior)
+    # per-chain SGLD warm start (GMC from random inits wastes its budget
+    # traversing the prior)
     warm_cfg = SGLDConfig(eps=TensorGPParams(w=P.epsw, U=P.epsU), transport="polar")
     inits = jax.vmap(model.init_params)(jax.random.split(kp, C))
     warm, _ = run_sgld(model, inits, jax.random.fold_in(ks, 1), phi, y,
                        m=P.m, config=warm_cfg, burnin=30, maxepoch=0,
                        collect_fn=lambda p: ())
-    params0 = warm.params
-    keys = jax.random.split(ks, C)
-
-    collect = lambda p: model.predict(p, phi_probe)  # function-space probe
+    params = warm.params
 
     t0 = time.time()
-    # 1. adaptive burn-in, segmented like everything else (jittered-L epochs
-    # compute all L leapfrogs, so a 450-epoch burn-in in one dispatch blows
-    # the ~2 min tunnel budget). Each segment restarts dual averaging from
-    # the chained params; the LAST segment's averaged eta is kept (it starts
-    # closest to the typical set).
+    # 1. adaptive burn-in, segmented; each segment restarts dual averaging
+    # from the chained params; the LAST segment's per-chain averaged eta is
+    # kept (it starts closest to the typical set)
     SEGB = 100
     nburn = -(-burnin // SEGB)
-    warm_run = jax.jit(jax.vmap(partial(
-        run_gmc, model, phi=phi, y=y, config=cfg,
+    warm_run = jax.jit(partial(
+        run_gmc_chains, model, phi=phi, y=y, config=cfg,
         burnin=SEGB, maxepoch=0, collect_fn=lambda p: (),
-    )))
-    params, acc_b = params0, None
+        grad_backend="pallas",
+    ))
+    acc_b = None
     for b in range(nburn):
-        keys = jax.vmap(lambda k: jax.random.fold_in(k, 1000 + b))(keys)
-        params, _, acc_b, eta_bar = warm_run(params, keys)
+        kb = jax.random.fold_in(ks, 1000 + b)
+        params, _, acc_b, eta_bar = warm_run(params, kb)
         jax.block_until_ready(params.w)
-    eta_med = float(jnp.median(eta_bar))
-    # 2. sampling segments with the adapted step frozen (shared median eta,
-    # the rstan-style one-step-size-per-run convention) — detailed balance
-    # holds exactly within every kept draw
+    # 2. sampling segments with per-chain adapted steps frozen (each chain
+    # is a valid fixed-eps sampler; detailed balance exact per kept draw)
+    eta2 = jnp.asarray(eta_bar) ** 2
     cfg_frozen = GMCConfig(
-        eps=TensorGPParams(w=P.epsw * eta_med**2, U=P.epsU * eta_med**2),
+        eps=TensorGPParams(w=P.epsw * eta2, U=P.epsU * eta2),
         num_leapfrog=L, jitter_steps=True, adapt_step_size=False,
+        geodesic_method="taylor",
     )
-    seg_run = jax.jit(jax.vmap(partial(
-        run_gmc, model, phi=phi, y=y, config=cfg_frozen,
+    seg_run = jax.jit(partial(
+        run_gmc_chains, model, phi=phi, y=y, config=cfg_frozen,
         burnin=0, maxepoch=SEG, collect_fn=collect,
-    )))
-    probes_segs, accept_segs = [], [acc_b]
+        grad_backend="pallas",
+    ))
+    probes_segs, accept_segs = [], [np.asarray(acc_b)]
     nseg = -(-keep // SEG)
     for s in range(nseg):
-        keys = jax.vmap(lambda k: jax.random.fold_in(k, s + 1))(keys)
-        params, pr, acc = seg_run(params, keys)
+        kseg = jax.random.fold_in(ks, 2000 + s)
+        params, pr, acc = seg_run(params, kseg)
         jax.block_until_ready(pr)
         probes_segs.append(np.asarray(pr))
-        accept_segs.append(acc)
+        accept_segs.append(np.asarray(acc))
     wall = time.time() - t0
-    probes = np.concatenate(probes_segs, axis=1)[:, :keep]  # (C, keep, 32)
-    accept = np.concatenate([np.asarray(a) for a in accept_segs], axis=-1)
-    eta_bar = np.asarray(eta_bar)
+    # collected shape per segment: (epochs, C, 96) → (C, keep, 96)
+    probes = np.concatenate(probes_segs, axis=0)[:keep].transpose(1, 0, 2)
+    accept = np.concatenate(accept_segs, axis=0)  # (epochs, C)
+
     rhat = np.asarray(potential_scale_reduction(jnp.asarray(probes)))
     ess = np.asarray(effective_sample_size(jnp.asarray(probes)))
+    nfun = 32
+    divergent = (accept < 1e-8).sum(axis=0)  # per chain
     m = dict(
         chains=C, burnin=burnin, kept=keep, num_leapfrog=L,
-        adapt_step_size=True,
+        adapt_step_size=True, geodesic="taylor", grad_backend="pallas",
         eta_bar_median=round(float(np.median(np.asarray(eta_bar))), 4),
-        mean_accept=round(float(np.mean(np.asarray(accept))), 3),
+        mean_accept=round(float(accept.mean()), 3),
+        accept_per_chain_min=round(float(accept.mean(axis=0).min()), 3),
+        divergent_epochs_total=int(divergent.sum()),
         rhat_max=round(float(rhat.max()), 4),
         rhat_median=round(float(np.median(rhat)), 4),
+        rhat_max_function_space=round(float(rhat[:nfun].max()), 4),
+        rhat_max_param_space=round(float(rhat[nfun:].max()), 4),
         ess_min=round(float(ess.min()), 1),
         ess_median=round(float(np.median(ess)), 1),
+        ess_min_function_space=round(float(ess[:nfun].min()), 1),
+        ess_min_param_space=round(float(ess[nfun:].min()), 1),
         seconds=round(wall, 1),
         leapfrogs_per_s=round(C * (burnin + keep) * L / wall, 1),
     )

@@ -103,16 +103,31 @@ def main():
     dt, _ = time_best(lambda p, k: run_v(p, k)[0].w, params0, keys)
     report("vmap", dt)
 
-    # 2. chain-merged lanes, gather + onehot core expansion
-    for mode in ("merged", "merged_onehot"):
+    # 2. chain-merged lanes (gather/onehot expansion), then the two r4
+    #    bottleneck fixes: matmul-only Taylor geodesics (the batched Padé
+    #    expm costs as much as the whole gradient) and the fused Pallas
+    #    chunk-streaming gradient (the XLA merged grad is HBM-bound on its
+    #    (N, C, Q) intermediates)
+    import dataclasses as dc
+
+    variants = [
+        ("merged", dict(contraction="merged"), cfg, "xla"),
+        ("merged_onehot", dict(contraction="merged_onehot"), cfg, "xla"),
+        ("merged+taylor", dict(contraction="merged"),
+         dc.replace(cfg, geodesic_method="taylor"), "xla"),
+        ("merged+taylor+pallas_grad", dict(contraction="merged"),
+         dc.replace(cfg, geodesic_method="taylor"), "pallas"),
+    ]
+    for name, mkw, vcfg, backend in variants:
         model_m = TensorGP(n=P.n, r=P.r, D=D, I=I, signal_var=P.signal_var,
-                           precision="highest", contraction=mode)
+                           precision="highest", **mkw)
         run_m = jax.jit(partial(
-            run_gmc_chains, model_m, phi=phi, y=y, config=cfg,
+            run_gmc_chains, model_m, phi=phi, y=y, config=vcfg,
             burnin=epochs, maxepoch=0, collect_fn=lambda p: (),
+            grad_backend=backend,
         ))
         dt, _ = time_best(lambda p, k: run_m(p, k)[0].w, params0, ks)
-        report(mode, dt)
+        report(name, dt)
 
     # 3. roofline: bare matmul stream at the merged kernel's exact shapes.
     # One leapfrog's MXU work per fleet = D fwd (N,n)@(n,C·r) + 2·D transposed
@@ -150,7 +165,7 @@ def main():
           f"leapfrog bound {results['roofline_matmul']['implied_leapfrog_bound_per_s']:,.0f}/s/chain-fleet",
           flush=True)
 
-    best = max(("merged", "merged_onehot"),
+    best = max((n for n, *_ in variants),
                key=lambda k: results[k]["leapfrogs_per_s"])
     results["speedup_vs_vmap"] = round(
         results[best]["leapfrogs_per_s"] / results["vmap"]["leapfrogs_per_s"], 2)

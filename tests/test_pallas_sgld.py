@@ -362,3 +362,49 @@ def test_megafused_rmsprop_matches_fused_xla(key, stiefel):
         np.asarray(mf_final.U), np.asarray(xla_final.params.U),
         rtol=5e-2, atol=5e-3,
     )
+
+
+def test_fused_grad_fn_matches_autodiff(key):
+    """grad_only kernel ≡ jax.grad of the log-joint (bf16 tolerance) —
+    the GMC fleet-gradient hot path (make_fused_grad_fn)."""
+    from gpt_tpu.ops.pallas_sgld import make_fused_grad_fn
+
+    for stiefel in (True, False):
+        model, params0, phi, y, _ = _setup(jax.random.fold_in(key, stiefel))
+        if not stiefel:
+            model = dataclasses.replace(model, stiefel=False)
+            params0 = jax.vmap(model.init_params)(
+                jax.random.split(jax.random.PRNGKey(41), 4)
+            )
+        grad_k = make_fused_grad_fn(model, phi, y, data_chunk=16,
+                                    interpret=True)
+        g_kernel = grad_k(params0)
+        g_auto = jax.grad(
+            lambda p: jnp.sum(model.log_lik(p, phi, y) + model.log_prior(p))
+        )(params0)
+        # bf16 likelihood path: compare in relative Frobenius norm (per-
+        # element rtol is meaningless on near-zero gradient entries)
+        for a, b in ((g_kernel.w, g_auto.w), (g_kernel.U, g_auto.U)):
+            rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(b))
+            assert rel < 2e-2, rel
+
+
+def test_gmc_pallas_grad_backend_samples(key):
+    """run_gmc_chains(grad_backend='pallas') runs, accepts, and agrees with
+    the XLA-gradient runner statistically (bf16 gradients perturb the
+    trajectory, never the MH accept ratio)."""
+    from gpt_tpu.inference.gmc import GMCConfig, run_gmc_chains
+
+    model, params0, phi, y, ks = _setup(key, C=4)
+    cfg = GMCConfig(eps=TensorGPParams(w=1e-4, U=1e-6), num_leapfrog=3)
+    _, coll_p, acc_p = run_gmc_chains(
+        model, params0, ks, phi, y, config=cfg, burnin=5, maxepoch=10,
+        grad_backend="pallas",
+    )
+    _, coll_x, acc_x = run_gmc_chains(
+        model, params0, ks, phi, y, config=cfg, burnin=5, maxepoch=10,
+        grad_backend="xla",
+    )
+    assert float(acc_p.mean()) > 0.3
+    assert abs(float(acc_p.mean()) - float(acc_x.mean())) < 0.3
+    assert bool(jnp.all(jnp.isfinite(coll_p.w)))

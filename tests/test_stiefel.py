@@ -143,3 +143,63 @@ def test_geodesic_jit_and_grad(key):
 
     g = jax.grad(loss)(mom)
     assert jnp.all(jnp.isfinite(g))
+
+
+def test_expm_taylor_matches_pade(key):
+    """Matmul-only scaling-and-squaring expm ≡ Padé expm to f32 precision
+    at leapfrog-scale arguments (and well beyond: ‖X‖ up to ~4)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.scipy.linalg import expm as pade
+
+    from gpt_tpu.utils.stiefel import expm_taylor
+
+    for scale in (1e-3, 0.1, 1.0):
+        X = scale * jax.random.normal(jax.random.fold_in(key, int(scale * 1e3)),
+                                      (6, 10, 10))
+        E_t = expm_taylor(X)
+        E_p = jax.vmap(pade)(X)
+        np.testing.assert_allclose(np.asarray(E_t), np.asarray(E_p),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_geodesic_taylor_matches_pade(key):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpt_tpu.utils import stiefel
+
+    n, r = 20, 4
+    U = stiefel.sample_stiefel(key, n, r, batch=(3,))
+    mom = stiefel.project_tangent(
+        U, jax.random.normal(jax.random.fold_in(key, 1), (3, n, r))
+    )
+    t = 3e-3
+    Up, mp = stiefel.geodesic_with_momentum(U, mom, t, "pade")
+    Ut, mt = stiefel.geodesic_with_momentum(U, mom, t, "taylor")
+    np.testing.assert_allclose(np.asarray(Ut), np.asarray(Up),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mt), np.asarray(mp),
+                               rtol=1e-5, atol=1e-5)
+    # endpoint stays on the manifold
+    assert float(stiefel.check_orthonormal(Ut)) < 1e-5
+
+
+def test_project_tangent_fleet_matches_per_chain(key):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpt_tpu.utils import stiefel
+
+    C, D, n, r = 5, 3, 12, 4
+    U = stiefel.sample_stiefel(key, n, r, batch=(C, D))
+    V = jax.random.normal(jax.random.fold_in(key, 1), (C, D, n, r))
+    ref = stiefel.project_tangent(U, V)
+    merged = stiefel.project_tangent_fleet(U, V)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    # single batch axis (C, n, r) works too
+    ref2 = stiefel.project_tangent(U[:, 0], V[:, 0])
+    merged2 = stiefel.project_tangent_fleet(U[:, 0], V[:, 0])
+    np.testing.assert_allclose(np.asarray(merged2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-6)
