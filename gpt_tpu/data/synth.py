@@ -59,6 +59,7 @@ def make_synthetic_ml1m(
     num_ratings: int = 1_000_209,
     r: int = 15,
     n_train: int = 800_000,
+    split_seed: int | None = None,
 ):
     """ML-1M-shaped synthetic CF dataset for the 800k-rating scale path.
 
@@ -88,7 +89,11 @@ def make_synthetic_ml1m(
     stars = np.clip(np.rint(raw), 1, 5)
 
     ratings = np.stack([uid, mid, stars], axis=1).astype(np.float64)
-    perm = rng.permutation(num_ratings)
+    # split_seed varies the train/test permutation over a FIXED dataset —
+    # the reference's 5-random-permutation-splits protocol
+    # (1m_movielensExperiment.jl:984-996)
+    split_rng = rng if split_seed is None else np.random.default_rng(split_seed)
+    perm = split_rng.permutation(num_ratings)
     tr, te = ratings[perm[:n_train]], ratings[perm[n_train:]]
     mean, std = float(tr[:, 2].mean()), float(tr[:, 2].std(ddof=1))
 

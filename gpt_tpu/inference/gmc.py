@@ -314,11 +314,12 @@ def run_gmc_chains(
     # (ops.pallas_sgld.make_fused_grad_fn): bf16 likelihood path, VMEM
     # intermediates — MH stays exact because logp above (the accept ratio's
     # only input) keeps the model's own (HIGHEST) precision.
-    if grad_backend == "pallas":
+    if grad_backend in ("pallas", "pallas_bf16"):
         from gpt_tpu.ops.pallas_sgld import make_fused_grad_fn
 
         grad_logp = make_fused_grad_fn(
-            model, phi, y, interpret=jax.default_backend() != "tpu"
+            model, phi, y, exact=grad_backend == "pallas",
+            interpret=jax.default_backend() != "tpu",
         )
     else:
         grad_logp = jax.grad(lambda p: jnp.sum(logp(p)))

@@ -423,7 +423,7 @@ def _sgld_kernel(
 
 def _fleet_grad_kernel(
     # static
-    D, n, Q, CB, mc, Mch, signal_var,
+    D, n, Q, CB, mc, Mch, signal_var, exact,
     # refs
     scal_ref, phi_ref, y_ref, wt_ref, Uhat_ref, w_ref,
     gw_ref, gUhat_ref, wbar_acc, Ubarh_acc,
@@ -433,7 +433,17 @@ def _fleet_grad_kernel(
     happens in-kernel — ``g_d = φ_d @ Û_d`` has full Q-wide lanes at CB=1
     with ZERO block-diagonal redundancy (the fused SGLD kernel pays CB× on
     its (CB·r, CB·Q) one-hot matmuls because it must carry U itself for the
-    manifold update; a grad-only consumer doesn't)."""
+    manifold update; a grad-only consumer doesn't).
+
+    ``exact=True`` runs the WHOLE chain at f32/HIGHEST: required when the
+    consumer is an exact-MH sampler — a bf16 force field is a different
+    potential than the f32 log-density the accept ratio measures, and that
+    mismatch surfaces as leapfrog energy error. Measured on the PP parity
+    config: bf16 forces push the dual-averaged step multiplier from ~0.5
+    down to 0.076 (the sampler protects exactness by crawling), collapsing
+    ESS; f32 forces restore the r3 step sizes at the kernel's locality
+    wins. ``exact=False`` (bf16) remains right for consumers that only
+    need a stochastic-gradient-quality force."""
     j = pl.program_id(1)
     f32 = jnp.float32
     bf16 = jnp.bfloat16
@@ -453,16 +463,39 @@ def _fleet_grad_kernel(
     c2q = _group_matrix(CB, Q, transpose=True)            # (CB, CBQ)
 
     w_c = jnp.where(jnp.isfinite(w), w, f32(0))
-    # gs retained in bf16: the LOO backward needs all D of them live, and
-    # their (mc, CB·Q) footprint is the kernel's VMEM budget — bf16 halves
-    # it, letting CB amortise the phi-chunk HBM reads across chains (the
-    # gradient is a bf16-class quantity throughout this kernel anyway)
+    # exact mode: f32 operands, HIGHEST dots. bf16 mode: gs retained bf16 —
+    # the LOO backward needs all D live and their (mc, CB·Q) footprint is
+    # the kernel's VMEM budget; bf16 halves it, letting CB amortise the
+    # phi-chunk HBM reads across chains.
+    keep = f32 if exact else bf16
+
+    # Mosaic supports only DEFAULT/HIGHEST dot precisions; exact mode wants
+    # ~f32-quality forces at less than HIGHEST's 6 passes, so do the 3-pass
+    # bf16 decomposition by hand: A@B ~= Ah@Bh + Ah@Bl + Al@Bh with
+    # A = Ah + Al split into leading/residual bf16 parts (rel err ~1e-7,
+    # far above the plain-bf16 threshold that collapses MH step sizes).
+    def _dot3(A, B, transpose_a=False):
+        dn = ((((0,) if transpose_a else (1,)), (0,)), ((), ()))
+        if not exact:
+            return jax.lax.dot_general(
+                A, B.astype(bf16), dimension_numbers=dn,
+                preferred_element_type=f32)
+        Ah = A.astype(bf16)
+        Al = (A - Ah.astype(f32)).astype(bf16)
+        Bh = B.astype(bf16)
+        Bl = (B - Bh.astype(f32)).astype(bf16)
+        out = jax.lax.dot_general(Ah, Bh, dimension_numbers=dn,
+                                  preferred_element_type=f32)
+        out += jax.lax.dot_general(Ah, Bl, dimension_numbers=dn,
+                                   preferred_element_type=f32)
+        out += jax.lax.dot_general(Al, Bh, dimension_numbers=dn,
+                                   preferred_element_type=f32)
+        return out
     gs = []
     V = None
     for d in range(D):
-        g = jnp.dot(phi[:, d, :], Uhat_ref[0, d],
-                    preferred_element_type=f32)           # (mc, CBQ)
-        gs.append(g.astype(bf16))
+        g = _dot3(phi[:, d, :], Uhat_ref[0, d])           # (mc, CBQ)
+        gs.append(g.astype(keep))
         V = g if V is None else V * g
     V = jnp.where(jnp.isfinite(V), V, f32(0))
     Vw = jnp.where(jnp.isfinite(V * w_c), V * w_c, f32(0))
@@ -474,7 +507,7 @@ def _fleet_grad_kernel(
                         precision=_HI)                    # (mc, CBQ)
     wbar_acc[...] += jnp.sum(V * gbar_lane, axis=0, keepdims=True)
 
-    Vbar = (gbar_lane * w_c).astype(bf16)                 # (mc, CBQ)
+    Vbar = (gbar_lane * w_c).astype(keep)                 # (mc, CBQ)
     sufs = [None] * D
     s = None
     for d in range(D - 1, 0, -1):
@@ -490,14 +523,11 @@ def _fleet_grad_kernel(
             loo = pre
         else:
             loo = pre * sufs[d]
-        gdbar = Vbar * loo                                # (mc, CBQ) bf16
+        gdbar = Vbar * loo                                # (mc, CBQ)
         # Mosaic's is_finite wants f32; scrub through a cast
-        gdbar = jnp.where(jnp.isfinite(gdbar.astype(f32)), gdbar, bf16(0))
-        Ubarh_acc[d] += jax.lax.dot_general(
-            phi[:, d, :], gdbar,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )                                                 # (n, CBQ)
+        gdbar = jnp.where(jnp.isfinite(gdbar.astype(f32)), gdbar, keep(0))
+        Ubarh_acc[d] += _dot3(phi[:, d, :], gdbar,
+                              transpose_a=True)           # (n, CBQ)
         pre = gs[d] if pre is None else pre * gs[d]
 
     @pl.when(j == Mch - 1)
@@ -508,17 +538,19 @@ def _fleet_grad_kernel(
 
 
 def fleet_grad_likelihood(w3, Uhat4, phi_b, y_b, wts_b, scalars, *,
-                          Q: int, signal_var: float, interpret: bool = False):
+                          Q: int, signal_var: float, exact: bool = False,
+                          interpret: bool = False):
     """Run :func:`_fleet_grad_kernel` over a (chain-blocks, data-chunks)
-    grid. ``w3 (NB, 1, CB·Q)`` f32, ``Uhat4 (NB, D, n, CB·Q)`` bf16,
-    ``phi_b (Mch, mc, D, n)`` bf16 → ``(gw3, gUhat4 f32)``."""
+    grid. ``w3 (NB, 1, CB·Q)`` f32, ``Uhat4 (NB, D, n, CB·Q)`` bf16 (f32 in
+    exact mode), ``phi_b (Mch, mc, D, n)`` likewise → ``(gw3, gUhat4 f32)``."""
     NB, one, CBQ = w3.shape
     NB2, D, n, CBQ2 = Uhat4.shape
     Mch, mc, D2, n2 = phi_b.shape
     assert NB == NB2 and CBQ == CBQ2 and D == D2 and n == n2 and one == 1
     CB = CBQ // Q
     kernel = functools.partial(
-        _fleet_grad_kernel, D, n, Q, CB, mc, Mch, float(signal_var))
+        _fleet_grad_kernel, D, n, Q, CB, mc, Mch, float(signal_var),
+        bool(exact))
     return pl.pallas_call(
         kernel,
         grid=(NB, Mch),
@@ -554,7 +586,9 @@ def fleet_grad_likelihood(w3, Uhat4, phi_b, y_b, wts_b, scalars, *,
 
 
 def make_fused_grad_fn(model, phi: jnp.ndarray, y: jnp.ndarray, *,
-                       chain_block: int = 8, data_chunk: int = 125,
+                       chain_block: int | None = None,
+                       data_chunk: int | None = None,
+                       exact: bool = True,
                        interpret: bool = False):
     """Build ``grad_logp(params_chains) -> param-tree gradients`` running the
     whole fleet's full-batch log-joint gradient as ONE fused kernel call.
@@ -568,14 +602,25 @@ def make_fused_grad_fn(model, phi: jnp.ndarray, y: jnp.ndarray, *,
     :func:`_fleet_grad_kernel` — no one-hot expansion, no CB× redundancy).
     The one-hot fold/unfold and the prior terms are tiny XLA ops outside.
 
-    bf16 likelihood path: fine for MH because the accept ratio is computed
-    from a separate HIGHEST-precision log-density — gradient rounding
-    perturbs the trajectory only (leapfrog is reversible for any
-    deterministic force field).
+    ``exact=True`` (default) keeps the kernel at f32/HIGHEST — REQUIRED for
+    exact-MH consumers: a bf16 force field is a different potential than the
+    f32 log-density the accept ratio measures, and the mismatch surfaces as
+    leapfrog energy error. Measured on the PP parity config: bf16 forces
+    pushed the dual-averaged step multiplier from ~0.5 to 0.076 (the sampler
+    protects exactness by crawling), collapsing ESS to the chain count
+    (RECORDS ``gmc_multichain_diagnostics``); f32 forces restore the r3
+    step sizes while keeping the kernel's locality wins. ``exact=False``
+    (bf16) remains right for stochastic-gradient-quality consumers —
+    gradient rounding then perturbs the trajectory only (leapfrog is
+    reversible for any deterministic force field), never the accept ratio.
     """
     from gpt_tpu.ops.contraction import core_indicator
 
     D, n, r, Q = model.D, model.n, model.r, model.Q
+    if chain_block is None:
+        chain_block = 4 if exact else 8   # f32 doubles the VMEM footprint
+    if data_chunk is None:
+        data_chunk = 100 if exact else 125
     N = int(y.shape[0])
     mc = int(data_chunk)
     Mch = -(-N // mc)
@@ -585,7 +630,8 @@ def make_fused_grad_fn(model, phi: jnp.ndarray, y: jnp.ndarray, *,
     y_pad = jnp.concatenate([y, jnp.zeros((pad,), y.dtype)], axis=0)
     wts = jnp.concatenate(
         [jnp.ones((N,), jnp.float32), jnp.zeros((pad,), jnp.float32)])
-    phi_b = phi_pad.astype(jnp.bfloat16).reshape(Mch, mc, D, n)
+    wire = jnp.float32 if exact else jnp.bfloat16
+    phi_b = phi_pad.astype(wire).reshape(Mch, mc, D, n)
     y_b = jnp.asarray(y_pad, jnp.float32).reshape(Mch, mc, 1)
     wts_b = wts.reshape(Mch, mc, 1)
     onehot = core_indicator(model.I, r, dtype=jnp.float32)  # (Q, D, r)
@@ -603,22 +649,30 @@ def make_fused_grad_fn(model, phi: jnp.ndarray, y: jnp.ndarray, *,
                 CB = cand
                 break
         NB = C // CB
-        # fold: Û_d = U_d E_dᵀ (n, Q); lanes (chain, q) chain-major
-        Uhat = jnp.einsum("cdnr,qdr->cdnq", params.U, onehot)
+        # fold: Û_d = U_d E_dᵀ (n, Q); lanes (chain, q) chain-major.
+        # HIGHEST is load-bearing: a one-hot contraction is a pure element
+        # SELECTION, but the DEFAULT TPU einsum is a single bf16 pass that
+        # rounds U itself — which silently turns the exact-mode force field
+        # into the bf16 potential the whole exact path exists to avoid
+        # (measured: accept 0.28 vs 0.89 at the r3 step size).
+        Uhat = jnp.einsum("cdnr,qdr->cdnq", params.U, onehot,
+                          precision=jax.lax.Precision.HIGHEST)
         Uhat4 = jnp.transpose(
             Uhat.reshape(NB, CB, D, n, Q), (0, 2, 3, 1, 4)
-        ).reshape(NB, D, n, CB * Q).astype(jnp.bfloat16)
+        ).reshape(NB, D, n, CB * Q).astype(wire)
         w3 = params.w.reshape(NB, 1, CB * Q)
         gw3, gUhat4 = fleet_grad_likelihood(
             w3, Uhat4, phi_b, y_b, wts_b, scalars,
-            Q=Q, signal_var=signal_var, interpret=interpret,
+            Q=Q, signal_var=signal_var, exact=exact, interpret=interpret,
         )
         gw = gw3.reshape(C, Q) - params.w / sigma_w2
         gUhat = jnp.transpose(
             gUhat4.reshape(NB, D, n, CB, Q), (0, 3, 1, 2, 4)
         ).reshape(C, D, n, Q)
-        # unfold (chain rule through the fold): Ū_d = Ûbar_d E_d
-        gU = jnp.einsum("cdnq,qdr->cdnr", gUhat, onehot)
+        # unfold (chain rule through the fold): Ū_d = Ûbar_d E_d (HIGHEST —
+        # same element-selection argument as the fold above)
+        gU = jnp.einsum("cdnq,qdr->cdnr", gUhat, onehot,
+                        precision=jax.lax.Precision.HIGHEST)
         if not stiefel_mode:
             gU = gU - n * params.U  # Gaussian N(0, 1/n) prior
         return type(params)(w=gw, U=gU)

@@ -117,6 +117,8 @@ def main():
          dc.replace(cfg, geodesic_method="taylor"), "xla"),
         ("merged+taylor+pallas_grad", dict(contraction="merged"),
          dc.replace(cfg, geodesic_method="taylor"), "pallas"),
+        ("merged+taylor+pallas_grad_bf16", dict(contraction="merged"),
+         dc.replace(cfg, geodesic_method="taylor"), "pallas_bf16"),
     ]
     for name, mkw, vcfg, backend in variants:
         model_m = TensorGP(n=P.n, r=P.r, D=D, I=I, signal_var=P.signal_var,

@@ -29,26 +29,43 @@ RECORDS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 
 
 def main():
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 25
-    t0 = time.time()
-    fold = make_synthetic_ml1m()
-    gen_s = time.time() - t0
-    print(f"generated {len(fold.train)}+{len(fold.test)} ratings in {gen_s:.1f}s", flush=True)
+    """Default: the reference's 5-random-permutation-splits protocol
+    (``1m_movielensExperiment.jl:984-996``) over ONE fixed synthetic dataset,
+    reporting mean±sd best avg-pred RMSE (VERDICT r3 ask #7). ``--single``
+    keeps the old one-split scale demo."""
+    single = "--single" in sys.argv
+    args = [int(a) for a in sys.argv[1:] if a.isdigit()]
+    epochs = args[0] if args else 25
+    splits = [None] if single else [101, 102, 103, 104, 105]
 
-    t0 = time.time()
-    run = run_movielens(fold, C.MOVIELENS_100K, jax.random.PRNGKey(11), maxepoch=epochs)
-    wall = time.time() - t0
+    rmses, secs = [], []
+    for i, ss in enumerate(splits):
+        t0 = time.time()
+        fold = make_synthetic_ml1m(split_seed=ss)
+        gen_s = time.time() - t0
+        print(f"split {ss}: {len(fold.train)}+{len(fold.test)} ratings "
+              f"({gen_s:.1f}s gen)", flush=True)
+        t0 = time.time()
+        run = run_movielens(fold, C.MOVIELENS_100K,
+                            jax.random.PRNGKey(11 + i), maxepoch=epochs)
+        wall = time.time() - t0
+        y_raw = fold.test[:, 2] * fold.rating_std + fold.rating_mean
+        const = float(np.sqrt(np.mean((y_raw - fold.rating_mean) ** 2)))
+        rmses.append(run.best_rmse)
+        secs.append(wall)
+        print(f"  best avg RMSE {run.best_rmse:.4f} (const {const:.4f}, "
+              f"{wall:.0f}s, rejected {run.rejected})", flush=True)
 
-    y_raw = fold.test[:, 2] * fold.rating_std + fold.rating_mean
-    const = float(np.sqrt(np.mean((y_raw - fold.rating_mean) ** 2)))
     metrics = {
+        "protocol": "single" if single else "5 permutation splits, fixed data",
         "n_train": int(len(fold.train)),
         "epochs": epochs,
-        "seconds": round(wall, 1),
-        "seconds_per_epoch": round(wall / epochs, 2),
-        "best_avg_rmse": run.best_rmse,
+        "split_rmses": [round(float(v), 4) for v in rmses],
+        "mean_best_avg_rmse": round(float(np.mean(rmses)), 4),
+        "sd_best_avg_rmse": round(float(np.std(rmses, ddof=1)), 4) if len(rmses) > 1 else 0.0,
         "const_predictor_rmse": const,
-        "rejected": run.rejected,
+        "seconds_per_epoch": round(float(np.mean(secs)) / epochs, 2),
+        "seconds_total": round(float(np.sum(secs)), 1),
     }
     append_record(RECORDS, "ml1m_synthetic_scale", metrics)
     print(metrics, flush=True)
