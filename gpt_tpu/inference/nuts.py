@@ -79,22 +79,38 @@ def _ctz(i: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.population_count((i & -i) - 1)
 
 
-def _nuts_transition(logp_and_grad, q0, logp0, g0, key, step_size, config):
+def _nuts_transition(logp_and_grad, q0, logp0, g0, key, step_size, config,
+                     leapfrog_fn=None, sample_momentum=None):
     """One NUTS transition on raveled vectors. Returns
-    (q_new, logp_new, g_new, accept_stat, n_leapfrog, diverged)."""
+    (q_new, logp_new, g_new, accept_stat, n_leapfrog, diverged).
+
+    ``leapfrog_fn(q, p, g, v, step_size) -> (q, p, g, logp)`` and
+    ``sample_momentum(key, q) -> p`` inject a non-Euclidean integrator over
+    the SAME raveled representation (the boundary stack, U-turn dots and
+    multinomial weights are geometry-agnostic given tangent momenta) — used
+    by :mod:`gpt_tpu.inference.manifold_nuts` for geodesic dynamics on
+    Stiefel products. Defaults reproduce the Euclidean sampler bit-for-bit.
+    """
     dim = q0.shape[0]
     md = config.max_depth
     kmom, kloop = jax.random.split(key)
-    p0 = jax.random.normal(kmom, (dim,), q0.dtype)
+    if sample_momentum is None:
+        p0 = jax.random.normal(kmom, (dim,), q0.dtype)
+    else:
+        p0 = sample_momentum(kmom, q0)
     H0 = logp0 - 0.5 * jnp.dot(p0, p0)
 
-    def leapfrog(q, p, g, v):
-        eps = v * step_size
-        p_half = p + 0.5 * eps * g
-        q_new = q + eps * p_half
-        logp_new, g_new = logp_and_grad(q_new)
-        p_new = p_half + 0.5 * eps * g_new
-        return q_new, p_new, g_new, logp_new
+    if leapfrog_fn is None:
+        def leapfrog(q, p, g, v):
+            eps = v * step_size
+            p_half = p + 0.5 * eps * g
+            q_new = q + eps * p_half
+            logp_new, g_new = logp_and_grad(q_new)
+            p_new = p_half + 0.5 * eps * g_new
+            return q_new, p_new, g_new, logp_new
+    else:
+        def leapfrog(q, p, g, v):
+            return leapfrog_fn(q, p, g, v, step_size)
 
     def build_subtree(key, depth, z_start, v):
         """Simulate 2^depth leapfrog steps from z_start along direction v.
