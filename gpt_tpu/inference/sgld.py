@@ -67,7 +67,11 @@ class SGLDConfig:
     adapt_down: float = 0.5
     adapt_up: float = 1.05
     adapt_patience: int = 50
-    adapt_floor: float = 1e-4  # lower bound on η
+    # η floor: low enough that a chain wedged at large-but-finite params
+    # (where gradients are astronomically scaled) can still take sane steps
+    # back toward the posterior basin — 1e-4 deadlocked the temperature-Kron
+    # recovery (r4)
+    adapt_floor: float = 1e-8
 
 
 class SGLDState(NamedTuple):
@@ -127,6 +131,7 @@ def make_sgld_step(
     manifolds,
     config: SGLDConfig,
     event_ndims=None,
+    ref_norms=None,
 ) -> Callable:
     """Build the jittable transition kernel.
 
@@ -136,6 +141,16 @@ def make_sgld_step(
     *trailing* parameter axes per leaf — everything before them is treated as
     independent chain axes for NaN-rejection accounting. ``None`` means the
     whole leaf is one event (single-chain semantics).
+
+    ``ref_norms`` (pytree of per-leaf/per-chain initial norms, adapt_eps
+    only) arms the ABSOLUTE trust region: any Euclidean step ending beyond
+    100x the initialisation scale is rejected outright. Relative growth caps
+    alone cannot stop a divergence cascade — its growth compounds through
+    individually-small accepted steps faster than the η backoff can floor
+    (measured on the temperature-Kron ε=1e-6 run: the chain wedged at
+    ~200x its init scale under 10x, 1.5x and 1.05x per-step caps alike,
+    where gradients are so large no η survives). On z-scored problems a
+    leaf 100x its init norm is unambiguously diverged.
     Returns ``step(state, batch) -> state``.
     """
     eps_tree = config.eps
@@ -173,12 +188,18 @@ def make_sgld_step(
             if event_ndims is not None
             else [None] * len(leaves_p)
         )
+        leaves_ref = (
+            treedef.flatten_up_to(ref_norms)
+            if ref_norms is not None
+            else [None] * len(leaves_p)
+        )
         keys = jax.random.split(sub, len(leaves_p))
 
         new_leaves = []
         rejected = state.rejected
-        for p, g, man, e, G, ed, k in zip(
-            leaves_p, leaves_g, leaves_m, leaves_e, leaves_G, leaves_ed, keys
+        for p, g, man, e, G, ed, ref, k in zip(
+            leaves_p, leaves_g, leaves_m, leaves_e, leaves_G, leaves_ed,
+            leaves_ref, keys
         ):
             if man == "frozen":  # fixed parameters (e.g. GPT_fixw's core w)
                 new_leaves.append(p)
@@ -252,6 +273,33 @@ def make_sgld_step(
                 ev = p.ndim if ed is None else min(int(ed), p.ndim)
                 axes = tuple(range(p.ndim - ev, p.ndim))
                 bad = ~jnp.all(jnp.isfinite(newp), axis=axes)
+                if config.adapt_eps:
+                    # Adaptive mode must also reject FINITE-but-absurd steps:
+                    # an accepted 1e10-sized first step wedges the chain at a
+                    # point whose gradients are all NaN, after which no step
+                    # size can recover it (observed on the temperature-Kron
+                    # eps=1e-6 run: 405k rejections, identical with and
+                    # without backoff, because the wedge happened on an
+                    # ACCEPTED step). A 10x-per-step norm-growth cap (with
+                    # absolute slack for near-zero params) only ever fires on
+                    # catastrophic steps, so stable runs stay bitwise
+                    # identical to fixed-eps.
+                    # Relative cap: healthy SGLD moves are ~1e-3 relative,
+                    # so 5%+1 never fires on stable runs (bitwise identical
+                    # to fixed-eps); a divergence cascade exceeds it within
+                    # a few steps. Absolute cap (ref = init-scale norms):
+                    # relative caps alone cannot stop a cascade — its growth
+                    # compounds through individually-small accepted steps
+                    # faster than η can floor (measured: the temperature-
+                    # Kron ε=1e-6 chain wedged at ~200x init scale under
+                    # 10x, 1.5x and 1.05x caps alike, where gradients are so
+                    # large no η survives). On z-scored problems a leaf 100x
+                    # its init norm is unambiguously diverged.
+                    nrm_old = jnp.sqrt(jnp.sum(p * p, axis=axes))
+                    nrm_new = jnp.sqrt(jnp.sum(newp * newp, axis=axes))
+                    bad = bad | ~(nrm_new <= 1.05 * nrm_old + 1.0)
+                    if ref is not None:
+                        bad = bad | ~(nrm_new <= 100.0 * (ref + 1.0))
                 rejected = rejected + jnp.sum(bad, dtype=jnp.int32)
                 new_leaves.append(
                     jnp.where(bad[(...,) + (None,) * ev], p, newp)
@@ -376,9 +424,28 @@ def run_sgld(
 
         return jax.grad(logp)(params)
 
+    ref_norms = None
+    if config.adapt_eps:
+        p_init = (initial_state.params if initial_state is not None
+                  else params0)
+        ed = getattr(model, "event_ndims", None)
+
+        def leaf_norm(p, e=None):
+            ev = p.ndim if e is None else min(int(e), p.ndim)
+            return jnp.sqrt(jnp.sum(p * p, axis=tuple(range(p.ndim - ev, p.ndim))))
+
+        if ed is None:
+            ref_norms = jax.tree.map(leaf_norm, p_init)
+        else:
+            leaves_p, td = jax.tree.flatten(p_init)
+            ref_norms = jax.tree.unflatten(
+                td, [leaf_norm(p, e) for p, e in
+                     zip(leaves_p, td.flatten_up_to(ed))])
+
     step = make_sgld_step(
         grad_fn, model.manifolds, config,
         event_ndims=getattr(model, "event_ndims", None),
+        ref_norms=ref_norms,
     )
 
     def epoch_body(state: SGLDState, _):

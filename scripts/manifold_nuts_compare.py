@@ -62,8 +62,11 @@ def main():
     collect = lambda p: model.predict(
         jax.tree.map(lambda a: a[None], p), phi_probe)[0]
 
-    # shared warm start
-    warm_cfg = SGLDConfig(eps=eps, transport="polar")
+    # shared warm start; adapt_eps guards against the headline config's
+    # known ~5% per-chain divergence rate (RECORDS headline_config_marginality
+    # — a blown-up warm chain has logp = -inf, which poisons H0 and every
+    # downstream diagnostic with inf - inf = NaN)
+    warm_cfg = SGLDConfig(eps=eps, transport="polar", adapt_eps=True)
     inits = jax.vmap(model.init_params)(jax.random.split(kp, C))
     wstate, _ = run_sgld(model, inits, jax.random.fold_in(ks, 1), phi, y,
                          m=P.m, config=warm_cfg, burnin=30, maxepoch=0,

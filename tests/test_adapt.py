@@ -70,7 +70,10 @@ def test_adaptation_recovers_diverging_config(key):
     # adapted: the backoff settles within the first 10 epochs — NO further
     # rejections in epochs 10..40 (measured: 159 rejections at both horizons)
     assert int(adapted.rejected) == int(half.rejected)
-    assert float(adapted.eta) < 1e-3
+    # the r4 norm-growth cap catches divergence BEFORE params blow up into
+    # NaN territory, so fewer halvings are needed than when only non-finite
+    # updates rejected (eta settled <1e-3 then; ~4e-3 now)
+    assert float(adapted.eta) < 1e-2
     assert bool(jnp.all(jnp.isfinite(adapted.params.w)))
     assert bool(jnp.all(jnp.isfinite(adapted.params.U)))
     assert float(jnp.max(jnp.abs(adapted.params.w - params0.w))) > 0
