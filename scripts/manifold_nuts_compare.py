@@ -42,7 +42,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     argv = [int(a) for a in sys.argv[1:]]
-    C, warm, keep, L = (argv + [8, 100, 300, 30][len(argv):])[:4]
+    C, warm, keep, L, md = (argv + [8, 100, 300, 30, 7][len(argv):])[:5]
     split = load_power_plant()
     key = jax.random.PRNGKey(31)
     kI, kf, kp, ks = jax.random.split(key, 4)
@@ -104,7 +104,7 @@ def main():
 
     # --- manifold NUTS (vmapped chains, segmented) -----------------------
     t1 = time.time()
-    ncfg = NUTSConfig(max_depth=7, init_step_size=1.0)
+    ncfg = NUTSConfig(max_depth=md, init_step_size=1.0)
     run_n = jax.jit(jax.vmap(partial(
         run_manifold_nuts, model, phi=phi, y=y, eps=eps,
         num_warmup=warm, num_samples=keep, config=ncfg, collect_fn=collect,
@@ -122,7 +122,7 @@ def main():
     epg_g = float(ess_g.min()) / gmc_grads
     epg_n = float(ess_n.min()) / nuts_grads
     m = dict(
-        chains=C, warmup=warm, kept=keep, gmc_L=L,
+        chains=C, warmup=warm, kept=keep, gmc_L=L, nuts_max_depth=md,
         gmc=dict(ess_min=round(float(ess_g.min()), 1),
                  ess_median=round(float(np.median(ess_g)), 1),
                  grads=int(gmc_grads), seconds=round(gmc_s, 1),

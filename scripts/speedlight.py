@@ -233,6 +233,61 @@ def gmc_leapfrog(C=16, epochs=5, L=30):
     }
 
 
+def gmc_leapfrog_fleet(C=16, epochs=5, L=30, exact=True):
+    """Round-4 chain-merged fleet: Taylor geodesics + fused Pallas gradient.
+
+    ``exact=True`` = f32-quality forces (3-pass dots — the MH-exact
+    configuration); ``exact=False`` = bf16 forces (trajectory-quality only;
+    the accept ratio is still exact but dual averaging must shrink steps, so
+    use this rate for SGLD-like consumers). Full sweep incl. the measured
+    bare-matmul roofline: RECORDS ``gmc_merged_lanes``
+    (scripts/gmc_merged_bench.py).
+    """
+    from gpt_tpu.inference.gmc import run_gmc_chains
+
+    split = load_power_plant()
+    P = CFG.POWER_PLANT_TENSOR
+    key = jax.random.PRNGKey(17)
+    kI, kf, kp, ks = jax.random.split(key, 4)
+    D = split.X_train.shape[1]
+    I = sample_core_indices(kI, P.r, D, P.Q)
+    phi = tensor_features(
+        jnp.asarray(split.X_train, jnp.float32), sample_tensor_rff(kf, P.n, D),
+        P.length_scale, P.sigma_RBF, tensor_phi_scale(P.n, P.Q, D),
+    )
+    y = jnp.asarray(split.y_train, jnp.float32)
+    model = TensorGP(n=P.n, r=P.r, D=D, I=I, signal_var=P.signal_var,
+                     precision="highest", contraction="merged")
+    cfg = GMCConfig(eps=TensorGPParams(w=1e-4, U=1e-7), num_leapfrog=L,
+                    geodesic_method="taylor")
+    params0 = jax.vmap(model.init_params)(jax.random.split(kp, C))
+
+    jitted = jax.jit(partial(
+        run_gmc_chains, model, phi=phi, y=y, config=cfg,
+        burnin=epochs, maxepoch=0, collect_fn=lambda p: (),
+        grad_backend="pallas" if exact else "pallas_bf16",
+    ))
+    dt = _time(jitted, params0, ks)
+    leapfrogs = C * epochs * L
+    fstep = gmc_leapfrog_flops(y.shape[0], P.n, P.r, P.Q, D)
+    fl = fstep * leapfrogs
+    tag = "exact f32 forces" if exact else "bf16 forces"
+    return {
+        "workload": f"GMC leapfrog, r4 merged fleet ({tag}; {C} chains, L={L})",
+        "leapfrogs_per_s": leapfrogs / dt,
+        "seconds": dt,
+        "flops_per_leapfrog": fstep,
+        "achieved_tflops": fl / dt / 1e12,
+        "pct_f32_peak": 100 * fl / dt / PEAK_F32,
+        "measured_roofline_pct_f32_peak": 22.7,  # RECORDS gmc_merged_lanes
+        "reference_leapfrogs_per_s": 0.1,
+    }
+
+
+def gmc_leapfrog_fleet_bf16():
+    return gmc_leapfrog_fleet(exact=False)
+
+
 def ml100k_sgld(C=64, epochs=5):
     fold = load_movielens_100k(1)
     preset = CFG.MOVIELENS_100K
@@ -275,7 +330,7 @@ def main():
         "",
     ]
     for fn in (headline_sgld, headline_sgld_megafused, gmc_leapfrog,
-               ml100k_sgld):
+               gmc_leapfrog_fleet, gmc_leapfrog_fleet_bf16, ml100k_sgld):
         rep = fn()
         append_record(RECORDS, "speedlight", rep)
         lines.append(f"## {rep.pop('workload')}")
@@ -288,8 +343,22 @@ def main():
         "Interpretation: per-chain operands are tiny (m ≤ 100, n ≤ 150, r ≤ 20),",
         "so a single chain is latency-bound far below peak; throughput scales by",
         "batching chains until the MXU is fed (the headline fused-chain runs).",
-        "The GMC full-batch gradient is the closest to compute-bound and runs at",
-        "HIGHEST precision (6-pass f32 emulation) by MH necessity.",
+        "",
+        "The SGLD headline row above keeps HIGHEST-precision transport algebra",
+        "for apples-to-apples history; `bench.py` additionally enables the",
+        "SGLD-sanctioned DEFAULT-precision transport (Newton–Schulz correction",
+        "stays HIGHEST) and a stable epsw=5e-5 — 700k chain-steps/s with zero",
+        "rejections (BENCH_r04).",
+        "",
+        "GMC: the r3 claim that ~2.5% of f32 peak was a lane-utilisation",
+        "ceiling is RETIRED. The r4 merged fleet (chain-merged lanes, Taylor",
+        "geodesics replacing the scalar-bound batched Padé expm, and the",
+        "folded-layout Pallas gradient) runs the exact-MH configuration 2.3×",
+        "faster and the bf16-force configuration 3.7× faster, against a",
+        "MEASURED bare-matmul roofline of 22.7% of f32 peak at the kernel's",
+        "exact shapes (RECORDS `gmc_merged_lanes`) — the full leapfrog is",
+        "within ~2.6× of that shape-bound; the remainder is the LOO/elementwise",
+        "work, H evaluations and manifold algebra, not matmul starvation.",
         "",
     ]
     with open(os.path.join(ROOT, "SPEEDLIGHT.md"), "w") as f:
