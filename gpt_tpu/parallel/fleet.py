@@ -94,17 +94,57 @@ def run_gmc_fleet(
     config,
     burnin: int,
     maxepoch: int,
+    merged: bool = False,
+    grad_backend: str = "xla",
 ):
     """Sharded fleet of geodesic-MC chains (``GPT_GMC`` seed sweeps).
+
+    ``merged=True`` advances each device's chain shard through the
+    chain-MERGED runner (:func:`gpt_tpu.inference.gmc.run_gmc_chains` —
+    lane-merged gradients/projections, per-chain MH; pair with
+    ``TensorGP(contraction="merged")`` and optionally
+    ``grad_backend="pallas"`` for the r4 fast path) instead of vmapping
+    per-chain programs; PRNG streams differ between the two, so they are
+    statistically (not bitwise) equivalent.
 
     Returns ``(final_params, collected, accept_probs[, eta_bar])`` with
     leading chain axes (``eta_bar`` present iff ``config.adapt_step_size``).
     """
-    from gpt_tpu.inference.gmc import run_gmc
+    from gpt_tpu.inference.gmc import run_gmc, run_gmc_chains
 
     kp, ks = jax.random.split(key)
     params0 = jax.vmap(model.init_params)(jax.random.split(kp, num_chains))
     params0 = jax.tree.map(lambda a: a.astype(phi.dtype), params0)
+
+    if merged:
+        ndev = mesh.shape[CHAIN_AXIS]
+        if num_chains % ndev:
+            raise ValueError(
+                f"{num_chains} chains not divisible over {ndev} devices")
+        keys = jax.vmap(lambda i: jax.random.fold_in(ks, i))(jnp.arange(ndev))
+
+        @jax.jit
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(CHAIN_AXIS), P(CHAIN_AXIS)),
+            out_specs=P(CHAIN_AXIS),
+            check_vma=False,
+        )
+        def fleet(p, k):
+            out = run_gmc_chains(
+                model, p, k[0], phi, y, config=config, burnin=burnin,
+                maxepoch=maxepoch, grad_backend=grad_backend,
+            )
+            # accept (epochs, C_local) [+ eta (C_local,)] -> chain-leading
+            out = list(out)
+            out[2] = jnp.swapaxes(out[2], 0, 1)
+            # collected is (epochs, C_local, ...) -> (C_local, epochs, ...)
+            out[1] = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), out[1])
+            return tuple(out)
+
+        return fleet(params0, keys)
+
     keys = jax.random.split(ks, num_chains)
 
     def run_one(p, k):

@@ -185,3 +185,52 @@ def test_gmc_fleet_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(collected.w), np.asarray(ref_collected.w), atol=1e-4
     )
+
+
+def test_gmc_merged_fleet_matches_per_shard():
+    """merged=True sharded GMC fleet == concatenated per-shard
+    run_gmc_chains runs with the same fold_in keys (exact)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gpt_tpu.data.synth import make_tensor_synth
+    from gpt_tpu.inference import GMCConfig
+    from gpt_tpu.inference.gmc import run_gmc_chains
+    from gpt_tpu.models.tensor_gp import TensorGPParams
+    from gpt_tpu.parallel import make_mesh, run_gmc_fleet
+
+    synth = make_tensor_synth(jax.random.PRNGKey(0), N=60, D=3, n=4, r=2, Q=6)
+    model = dataclasses.replace(synth.model, contraction="merged")
+    y = synth.y[0.1]
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    C = 8
+    cfg = GMCConfig(eps=TensorGPParams(w=1e-4, U=1e-5), num_leapfrog=3)
+
+    key = jax.random.PRNGKey(7)
+    final, collected, accs = run_gmc_fleet(
+        model, mesh, key, synth.phi, y, num_chains=C, config=cfg,
+        burnin=1, maxepoch=3, merged=True,
+    )
+    assert final.w.shape == (C, model.Q)
+    assert accs.shape == (C, 4)
+
+    # reference: per-shard runs with the same key schedule
+    kp, ks = jax.random.split(key)
+    params0 = jax.vmap(model.init_params)(jax.random.split(kp, C))
+    params0 = jax.tree.map(lambda a: a.astype(synth.phi.dtype), params0)
+    per = C // 4
+    for d in range(4):
+        sl = slice(d * per, (d + 1) * per)
+        f_d, c_d, a_d = run_gmc_chains(
+            model, jax.tree.map(lambda a: a[sl], params0),
+            jax.random.fold_in(ks, d), synth.phi, y, config=cfg,
+            burnin=1, maxepoch=3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(final.w[sl]), np.asarray(f_d.w), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(accs[sl]), np.asarray(jnp.swapaxes(a_d, 0, 1)),
+            rtol=1e-5, atol=1e-6
+        )
