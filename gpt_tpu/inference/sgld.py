@@ -563,9 +563,26 @@ def run_sgld_megafused(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    # Classification (TensorGPClassifier): each (chain, class) pair becomes
+    # a SUPER-chain in the kernel — per-class w/U are independent params and
+    # the only cross-class coupling is the softmax residual, which the
+    # kernel computes over class lane-groups (class minor within a block).
+    ncls = int(getattr(model, "num_classes", 0) or 0)
+    if ncls:
+        Cc = params0_chains.w.shape[0]
+        D_, n_, r_ = model.D, model.n, model.r
+        params0_chains = type(params0_chains)(
+            w=params0_chains.w.reshape(Cc * ncls, model.Q),
+            U=params0_chains.U.reshape(Cc * ncls, D_, n_, r_),
+        )
+
     C, Q = params0_chains.w.shape
     D, n, r = model.D, model.n, model.r
-    CB = _pick_block(C, chain_block)
+    if ncls:
+        # class groups may not straddle chain blocks
+        CB = ncls * _pick_block(C // ncls, max(1, chain_block // ncls))
+    else:
+        CB = _pick_block(C, chain_block)
     NB = C // CB
     mc = _pick_block(m, data_chunk)
     Mch = m // mc
@@ -604,12 +621,13 @@ def run_sgld_megafused(
     program = _megafused_program(
         params_cls, D, n, r, Q, CB, NB, mc, Mch, N, B, pad, m,
         eps_w, eps_U, float(config.decay), bool(config.langevin), ns_iters,
-        float(model.sigma_w) ** 2, float(model.signal_var),
+        float(model.sigma_w) ** 2,
+        float(getattr(model, "signal_var", 1.0)),
         tuple(stages), bool(interpret), burnin, maxepoch, collect_fn,
         bool(config.adapt_eps), float(config.adapt_down),
         float(config.adapt_up), float(config.adapt_floor),
         stiefel, bool(config.rmsprop), float(config.rmsprop_alpha),
-        float(config.rmsprop_lambda),
+        float(config.rmsprop_lambda), ncls,
     )
     return program(w3_0, U4_0, phi_bf16, y_pad, ohf, ohb, base_seed,
                    kperm_base, knoise_base)
@@ -636,6 +654,7 @@ def _megafused_program(
     stages, interpret, burnin, maxepoch, collect_fn,
     adapt=False, a_down=0.5, a_up=1.05, a_floor=1e-4,
     stiefel=True, rmsprop=False, rms_alpha=0.99, rms_lambda=1e-5,
+    ncls=0,
 ):
     """Build (once per static configuration) the jitted megafused run program.
 
@@ -654,6 +673,9 @@ def _megafused_program(
         U = jnp.transpose(
             U4.reshape(NB, D, n, CB, r), (0, 3, 1, 2, 4)
         ).reshape(C, D, n, r)
+        if ncls:  # super-chains back to (chain, class, ...) classifier shape
+            w = w.reshape(C // ncls, ncls, Q)
+            U = U.reshape(C // ncls, ncls, D, n, r)
         return params_cls(w=w, U=U)
 
     def batch_body(phi_bf16, y_pad, ohf, ohb, base_seed, knoise_base,
@@ -688,6 +710,7 @@ def _megafused_program(
             interpret=interpret, noise=noise, stages=stages,
             eta3=eta3 if adapt else None, stiefel=stiefel,
             precond=(Gw3, GU4) if rmsprop else None,
+            num_classes=ncls,
         ))
         w3n, U4n, rej = outs[:3]
         eta3n = outs[3] if adapt else eta3

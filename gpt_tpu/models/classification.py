@@ -123,7 +123,11 @@ class TensorGPClassifier:
     def log_lik(self, params: TensorClassParams, phi: jnp.ndarray, y: jnp.ndarray,
                 weight: jnp.ndarray | None = None) -> jnp.ndarray:
         f = self.logits(params, phi)
-        fy = jnp.take_along_axis(f, y[..., :, None].astype(jnp.int32), axis=-1)[..., 0]
+        # broadcast the label index over any leading chain axes of f
+        idx = jnp.broadcast_to(
+            y[..., :, None].astype(jnp.int32), f.shape[:-1] + (1,)
+        )
+        fy = jnp.take_along_axis(f, idx, axis=-1)[..., 0]
         ll = fy - logsumexp(f, axis=-1)
         if weight is not None:
             ll = ll * weight

@@ -107,7 +107,7 @@ def _group_matrix(groups: int, width: int, transpose: bool):
 def _sgld_kernel(
     # static (closed over via functools.partial)
     D, n, r, Q, CB, mc, Mch, ns_iters, langevin, sigma_w2, signal_var, orth_tol,
-    tpu_prng, stages, adapt, stiefel, rmsprop,
+    tpu_prng, stages, adapt, stiefel, rmsprop, ncls,
     # refs
     scal_ref, seed_ref, phi_ref, y_ref, wt_ref, ohf_ref, ohb_ref, w_ref, U_ref,
     *rest,
@@ -200,7 +200,29 @@ def _sgld_kernel(
     dirty = dirty + cnt
     fhat = jnp.dot(Vw, q2c, preferred_element_type=f32,
                    precision=_HI)                         # (mc, CB)
-    gbar = (scale / signal_var) * wt * (y - fhat)         # (mc, CB)
+    if ncls:
+        # CLASSIFICATION (GPTclassification, GPT_SGLD.jl:452-680): the
+        # kernel's "chains" are (chain, class) SUPER-chain pairs, class
+        # minor within each block (CB % ncls == 0). fhat columns are
+        # per-class logits; the residual is the softmax gradient
+        # y_onehot - p, with the class-group sum as a membership matmul.
+        # Logits are clamped at ±60 (exp overflow guard only; healthy
+        # logits are O(1-10), and a clamped chain is in divergence
+        # territory the rejection machinery already handles).
+        ngrp = CB // ncls
+        cls2grp = _group_matrix(ngrp, ncls, transpose=False)  # (CB, ngrp)
+        grp2cls = _group_matrix(ngrp, ncls, transpose=True)   # (ngrp, CB)
+        efh = jnp.exp(jnp.clip(fhat, -60.0, 60.0))
+        denom = jnp.dot(efh, cls2grp, preferred_element_type=f32,
+                        precision=_HI)                        # (mc, ngrp)
+        denom_b = jnp.dot(denom, grp2cls, preferred_element_type=f32,
+                          precision=_HI)                      # (mc, CB)
+        p_soft = efh / denom_b
+        cls_col = jax.lax.broadcasted_iota(jnp.int32, (mc, CB), 1) % ncls
+        y_onehot = (y.astype(jnp.int32) == cls_col).astype(f32)
+        gbar = scale * wt * (y_onehot - p_soft)               # (mc, CB)
+    else:
+        gbar = (scale / signal_var) * wt * (y - fhat)         # (mc, CB)
     okg = jnp.isfinite(gbar)
     bad_g = jnp.sum(jnp.where(okg, f32(0), f32(1)), axis=0, keepdims=True,
                     dtype=f32)
@@ -718,6 +740,7 @@ def fused_sgld_step(
     eta3: jnp.ndarray | None = None,  # (NB, 1, CB) f32 per-chain step scale
     stiefel: bool = True,
     precond: tuple | None = None,  # (Gw3 (NB,1,CB*Q), GU4 (NB,D,n,CB*r)) f32
+    num_classes: int = 0,  # >0: (chain, class) super-chains, softmax residual
 ):
     """One fused SGLD transition for the whole fleet. Returns
     ``(w3_new, U4_new, rejected (NB, 1, CB) int32[, eta3_new][, Gw3, GU4])``.
@@ -757,8 +780,13 @@ def fused_sgld_step(
     kernel = functools.partial(
         _sgld_kernel, D, n, r, Q, CB, mc, Mch, ns_iters, langevin,
         float(sigma_w2), float(signal_var), float(orth_tol), tpu_prng,
-        frozenset(stages), adapt, bool(stiefel), rmsprop,
+        frozenset(stages), adapt, bool(stiefel), rmsprop, int(num_classes),
     )
+    if num_classes and CB % num_classes:
+        raise ValueError(
+            f"chain block {CB} must be a multiple of num_classes "
+            f"{num_classes} (class groups may not straddle blocks)"
+        )
     w_spec = pl.BlockSpec((1, 1, CBQ), lambda c, j: (c, 0, 0),
                           memory_space=pltpu.VMEM)
     U_spec = pl.BlockSpec((1, D, n, CBr), lambda c, j: (c, 0, 0, 0),
