@@ -76,7 +76,7 @@ def main():
     # chains diverge within the bench window — 49.6k rejections — RECORDS
     # headline_config_marginality), and samples/s from diverged chains
     # aren't posterior samples. 5e-5 measures 0 rejections at the same
-    # throughput (632k vs 629k; scripts/headline probe, r4).
+    # throughput (632k vs 629k measured in the r4 stable-eps probe).
     config = SGLDConfig(
         eps=TensorGPParams(w=5e-5, U=PRESET.epsU), transport="polar"
     )
