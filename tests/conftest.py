@@ -24,3 +24,19 @@ import pytest  # noqa: E402
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    The suite compiles hundreds of scan-heavy XLA CPU programs; by ~180
+    tests into a full run the accumulated jit cache reliably segfaulted the
+    process inside a later compile (reproduced twice at the same test with
+    the full prelude, never in isolation or in any subset — a cumulative
+    code-memory effect, not a test bug). Dropping caches at module
+    boundaries keeps the working set bounded; cross-module recompiles are
+    cheap relative to the suite.
+    """
+    yield
+    jax.clear_caches()
