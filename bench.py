@@ -116,11 +116,23 @@ def main():
     assert num_bad == 0, f"{num_bad}/{num_chains} chains diverged"
     assert rejected == 0, f"{rejected} rejected transports in the bench window"
 
+    # The effective config rides along so cross-round comparisons under the
+    # same metric key stay honest: eps_w is the hand-picked stable 5e-5 (NOT
+    # the preset's marginal 1e-4) and transport algebra runs at DEFAULT
+    # precision since r4 (earlier rounds: preset eps, HIGHEST).
     print(json.dumps({
         "metric": "tensor-GP SGLD chain-steps/s (PP n=100 r=10 Q=100 m=100, 256 chains, 1 chip)",
         "value": round(samples_per_sec, 1),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / REFERENCE_STEPS_PER_SEC, 1),
+        "config": {
+            "eps_w": 5e-5,
+            "eps_U": PRESET.epsU,
+            "transport": "polar",
+            "stiefel_precision": os.environ["GPT_TPU_STIEFEL_PRECISION"],
+            "chains": num_chains,
+            "epochs_timed": epochs_timed,
+        },
     }))
 
 

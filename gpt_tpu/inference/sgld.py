@@ -72,6 +72,18 @@ class SGLDConfig:
     # back toward the posterior basin — 1e-4 deadlocked the temperature-Kron
     # recovery (r4)
     adapt_floor: float = 1e-8
+    # adapt_eps trust region (Euclidean leaves). Per-step relative growth
+    # cap: reject a step growing a leaf norm past
+    # ``adapt_rel_cap·‖old‖ + adapt_rel_slack`` (healthy SGLD moves are
+    # ~1e-3 relative, so the 1.05+1.0 default never fires on stable runs —
+    # they stay bitwise identical to fixed-eps). Absolute cap: reject any
+    # step ending past ``adapt_trust·(init_norm + 1)``. On problems whose
+    # posterior mass legitimately sits far from the init scale (non-z-scored
+    # data), RAISE adapt_trust (or set it to inf) — otherwise rejections
+    # accumulate and the chain can never leave the init ball.
+    adapt_rel_cap: float = 1.05
+    adapt_rel_slack: float = 1.0
+    adapt_trust: float = 100.0
 
 
 class SGLDState(NamedTuple):
@@ -280,26 +292,29 @@ def make_sgld_step(
                     # size can recover it (observed on the temperature-Kron
                     # eps=1e-6 run: 405k rejections, identical with and
                     # without backoff, because the wedge happened on an
-                    # ACCEPTED step). A 10x-per-step norm-growth cap (with
-                    # absolute slack for near-zero params) only ever fires on
-                    # catastrophic steps, so stable runs stay bitwise
-                    # identical to fixed-eps.
-                    # Relative cap: healthy SGLD moves are ~1e-3 relative,
-                    # so 5%+1 never fires on stable runs (bitwise identical
-                    # to fixed-eps); a divergence cascade exceeds it within
-                    # a few steps. Absolute cap (ref = init-scale norms):
-                    # relative caps alone cannot stop a cascade — its growth
-                    # compounds through individually-small accepted steps
-                    # faster than η can floor (measured: the temperature-
-                    # Kron ε=1e-6 chain wedged at ~200x init scale under
-                    # 10x, 1.5x and 1.05x caps alike, where gradients are so
-                    # large no η survives). On z-scored problems a leaf 100x
-                    # its init norm is unambiguously diverged.
+                    # ACCEPTED step).
+                    # Relative cap (adapt_rel_cap·‖old‖ + adapt_rel_slack):
+                    # healthy SGLD moves are ~1e-3 relative, so the default
+                    # 1.05·‖old‖+1 never fires on stable runs (bitwise
+                    # identical to fixed-eps); a divergence cascade exceeds
+                    # it within a few steps. Absolute cap (ref = init-scale
+                    # norms, adapt_trust multiple): relative caps alone
+                    # cannot stop a cascade — its growth compounds through
+                    # individually-small accepted steps faster than η can
+                    # floor (measured: the temperature-Kron ε=1e-6 chain
+                    # wedged at ~200x init scale under 10x, 1.5x and 1.05x
+                    # per-step caps alike, where gradients are so large no η
+                    # survives). Both caps are SGLDConfig fields — on
+                    # non-z-scored problems whose posterior sits far from the
+                    # init scale, raise adapt_trust.
                     nrm_old = jnp.sqrt(jnp.sum(p * p, axis=axes))
                     nrm_new = jnp.sqrt(jnp.sum(newp * newp, axis=axes))
-                    bad = bad | ~(nrm_new <= 1.05 * nrm_old + 1.0)
+                    bad = bad | ~(
+                        nrm_new
+                        <= config.adapt_rel_cap * nrm_old + config.adapt_rel_slack
+                    )
                     if ref is not None:
-                        bad = bad | ~(nrm_new <= 100.0 * (ref + 1.0))
+                        bad = bad | ~(nrm_new <= config.adapt_trust * (ref + 1.0))
                 rejected = rejected + jnp.sum(bad, dtype=jnp.int32)
                 new_leaves.append(
                     jnp.where(bad[(...,) + (None,) * ev], p, newp)
@@ -749,11 +764,17 @@ def _megafused_program(
 
 
 def megafused_supported(model, config: SGLDConfig) -> bool:
-    """Whether (model, config) can run on the megafused Pallas path."""
+    """Whether (model, config) can run on the megafused Pallas path.
+
+    The kernel covers Stiefel factors (polar transport only — geodesic/Cayley
+    need the 2r×2r solve the kernel deliberately avoids), Euclidean factors
+    (``model.stiefel=False``, the r>n configs), and in-kernel RMSprop — each
+    with an XLA-parity test (``tests/test_pallas_sgld.py``).
+    """
+    stf = getattr(model, "stiefel", True)
     return (
-        getattr(model, "stiefel", True)
-        and config.transport == "polar"
-        and not config.rmsprop
+        hasattr(model, "I")  # tensor-core models only (w, U) — not full-theta
+        and (not stf or config.transport == "polar")
         and jax.default_backend() == "tpu"
     )
 
@@ -783,7 +804,8 @@ def run_sgld_auto(
     contraction where the model allows it).
 
     Returns the megafused signature ``(params_final, collected, rejected)``
-    for both engines.
+    for both engines; ``collected`` leaves are ``(epochs, C, ...)`` on both
+    branches (the XLA branch's per-chain-major layout is swapped back).
     """
     C = jax.tree.leaves(params0_chains)[0].shape[0]
     if C > megafused_threshold and megafused_supported(model, config):
@@ -795,6 +817,11 @@ def run_sgld_auto(
         model, params0_chains, key, phi, y, m=m, config=config,
         burnin=burnin, maxepoch=maxepoch, collect_fn=collect_fn,
     )
+    # run_sgld_chains_fused returns collected as (C, epochs, ...); the
+    # megafused engine yields (epochs, C, ...). Callers must see ONE layout
+    # regardless of which engine the threshold picked — normalise to the
+    # megafused (epochs, C, ...) contract.
+    collected = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), collected)
     return final.params, collected, jnp.sum(final.rejected)
 
 

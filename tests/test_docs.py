@@ -42,6 +42,52 @@ def test_cited_records_exist():
     assert not missing, f"docs cite RECORDS entries that don't exist: {missing}"
 
 
+def test_records_rows_well_formed():
+    """Every RECORDS row parses and carries the append_record schema; the
+    hygiene fields (``note`` str / ``superseded`` bool) are typed when present,
+    and a superseded row must say why in a note."""
+    with open(os.path.join(ROOT, "RECORDS.jsonl")) as f:
+        rows = [json.loads(line) for line in f if line.strip()]
+    assert rows
+    for i, r in enumerate(rows):
+        for field in ("ts", "git", "experiment", "metrics"):
+            assert field in r, f"row {i} missing {field}"
+        assert isinstance(r["metrics"], dict), f"row {i} metrics not a dict"
+        if "note" in r:
+            assert isinstance(r["note"], str) and r["note"], f"row {i} note"
+        if "superseded" in r:
+            assert r["superseded"] is True, f"row {i} superseded must be true"
+            assert "note" in r, f"row {i}: superseded without a note"
+
+
+def test_bench_multichip_json_well_formed():
+    """Driver artifacts BENCH_r*.json / MULTICHIP_r*.json stay parseable with
+    the keys the judge reads."""
+    import glob
+
+    for path in glob.glob(os.path.join(ROOT, "BENCH_r*.json")):
+        blob = open(path).read()
+        dec = json.JSONDecoder()
+        # driver concatenates objects without newlines; every object must parse
+        idx, seen = 0, 0
+        while idx < len(blob):
+            obj, end = dec.raw_decode(blob, idx)
+            idx = end
+            while idx < len(blob) and blob[idx] in " \n\t":
+                idx += 1
+            seen += 1
+            if "parsed" in obj:
+                parsed = obj["parsed"]
+                for k in ("metric", "value", "unit", "vs_baseline"):
+                    assert k in parsed, f"{path}: parsed missing {k}"
+                assert isinstance(parsed["value"], (int, float))
+        assert seen >= 1, path
+    for path in glob.glob(os.path.join(ROOT, "MULTICHIP_r*.json")):
+        obj = json.load(open(path))
+        for k in ("n_devices", "rc", "ok"):
+            assert k in obj, f"{path}: missing {k}"
+
+
 def test_cited_paths_exist():
     pat = re.compile(r"(?:plots|scripts|gpt_tpu|tests)/[A-Za-z0-9_./]+")
     missing = []
