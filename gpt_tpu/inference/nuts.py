@@ -235,6 +235,208 @@ def _nuts_transition(logp_and_grad, q0, logp0, g0, key, step_size, config,
     return t.q_prop, logp_new, g_new, accept_stat, t.n_leapfrog, t.diverged
 
 
+class _TreeFleet(NamedTuple):
+    """Carry for the chain-merged transition's outer (doubling) loop.
+
+    ``depth`` is GLOBAL (all chains double in lockstep); everything else is
+    per-chain: vectors are (C, dim), scalars (C,).
+    """
+    key: jax.Array
+    depth: jnp.ndarray
+    q_left: jnp.ndarray
+    p_left: jnp.ndarray
+    g_left: jnp.ndarray
+    q_right: jnp.ndarray
+    p_right: jnp.ndarray
+    g_right: jnp.ndarray
+    q_prop: jnp.ndarray
+    log_w: jnp.ndarray
+    turning: jnp.ndarray
+    diverged: jnp.ndarray
+    sum_alpha: jnp.ndarray
+    n_alpha: jnp.ndarray
+    n_leapfrog: jnp.ndarray
+
+
+def _nuts_transition_fleet(logp_and_grad, q0, logp0, g0, key, step_size,
+                           config, leapfrog_fn, sample_momentum):
+    """Chain-MERGED NUTS transition: C chains build their trees in lockstep so
+    every tree leaf costs ONE merged fleet gradient instead of C small ones.
+
+    Per-chain semantics are identical to ``vmap(_nuts_transition)`` — each
+    chain doubles until ITS OWN U-turn/divergence (frozen thereafter, its
+    lanes masked), keeps its own multinomial proposal, momenta and
+    dual-averaging statistics — only the execution schedule and the PRNG
+    stream differ. The payoff mirrors ``gmc.run_gmc_chains``: with
+    ``TensorGP(contraction="merged")`` the full-data gradient at every leapfrog
+    leaf is one (N, n) @ (n, C·r) lane-merged program (the shapes the MXU
+    wants) rather than C dispatch-bound (n, r) matmuls. Lockstep waste is
+    bounded: a chain that stops at doubling d idles for the remaining
+    doublings, but on posteriors whose U-turn scale exceeds the tree span
+    (the tensor-GP regime — RECORDS ``manifold_nuts_vs_gmc``: trees saturate
+    max_depth) chains almost never stop early, so the masked-lane overhead is
+    near zero.
+
+    Args: ``q0 (C, dim)``, ``logp0 (C,)``, ``g0 (C, dim)``,
+    ``step_size (C,)`` (per-chain, dual-averaged by the caller);
+    ``leapfrog_fn(q, p, g, v, step_size) -> (q, p, g, logp)`` with
+    ``v (C,)`` ∈ {±1}; ``sample_momentum(key, q) -> p``.
+    Returns per-chain ``(q, logp, g, accept_stat, n_leapfrog, diverged)``.
+    """
+    C, dim = q0.shape
+    md = config.max_depth
+    kmom, kloop = jax.random.split(key)
+    p0 = sample_momentum(kmom, q0)
+
+    def rowdot(a, b):
+        return jnp.sum(a * b, axis=-1)
+
+    H0 = logp0 - 0.5 * rowdot(p0, p0)  # (C,)
+
+    def leapfrog(q, p, g, v):
+        return leapfrog_fn(q, p, g, v, step_size)
+
+    def build_subtree(key, depth, z_start, v, active):
+        """Simulate 2^depth lockstep leapfrogs from z_start along per-chain
+        direction v; chains outside ``active`` (or stopping mid-subtree) are
+        frozen. Returns per-chain (z_end, prop, log_sub_w, turning, diverged,
+        sum_alpha, n_done)."""
+        q_s, p_s, g_s = z_start
+        stack_q = jnp.zeros((md + 1, C, dim), q_s.dtype)
+        stack_p = jnp.zeros((md + 1, C, dim), q_s.dtype)
+        n_total = jnp.int32(1) << depth
+
+        def cond(c):
+            i, turning, diverged = c[0], c[8], c[9]
+            return (i < n_total) & jnp.any(active & ~turning & ~diverged)
+
+        def body(c):
+            (i, key, q, p, g, prop, log_sub_w, sa, turning, diverged,
+             sq, sp, n_done) = c
+            key, ku = jax.random.split(key)
+            run = active & ~turning & ~diverged           # (C,)
+            runc = run[:, None]
+            # ONE merged leapfrog for the whole fleet; frozen chains recompute
+            # from their (finite) frozen state and the result is masked out.
+            qn, pn, gn, logpn = leapfrog(q, p, g, v)
+            q = jnp.where(runc, qn, q)
+            p = jnp.where(runc, pn, p)
+            g = jnp.where(runc, gn, g)
+            logw = logpn - 0.5 * rowdot(pn, pn) - H0      # (C,)
+            diverged = diverged | (
+                run & ((logw < -config.max_delta_energy) | ~jnp.isfinite(logw))
+            )
+            new_lsw = jnp.where(run, jnp.logaddexp(log_sub_w, logw), log_sub_w)
+            take = run & (
+                jnp.log(jax.random.uniform(ku, (C,), q.dtype))
+                < logw - new_lsw
+            )
+            prop = jnp.where(take[:, None], q, prop)
+            sa = sa + jnp.where(run, jnp.minimum(1.0, jnp.exp(logw)), 0.0)
+            n_done = n_done + run.astype(jnp.int32)
+            # boundary stack: store even nodes (running chains' rows only),
+            # check the blocks ending at odd i
+            is_even = (i % 2) == 0
+            slot = jnp.where(i == 0, depth, _ctz(jnp.maximum(i, 1)))
+            row_q = jnp.where(runc, q, sq[slot])
+            row_p = jnp.where(runc, p, sp[slot])
+            sq = jnp.where(is_even, sq.at[slot].set(row_q), sq)
+            sp = jnp.where(is_even, sp.at[slot].set(row_p), sp)
+
+            def check_block(b, turning):
+                start = i + 1 - (jnp.int32(1) << b)
+                live = (~is_even) & (b <= _ctz(i + 1)) & (b >= 1)
+                slot_b = jnp.where(start == 0, depth,
+                                   _ctz(jnp.maximum(start, 1)))
+                q_a = sq[slot_b]                          # (C, dim)
+                p_a = sp[slot_b]
+                dq = v[:, None] * (q - q_a)
+                turn_b = (rowdot(dq, p_a) < 0) | (rowdot(dq, p) < 0)
+                return turning | (live & run & turn_b)
+
+            turning = jax.lax.fori_loop(1, md + 1, check_block, turning)
+            return (i + 1, key, q, p, g, prop, new_lsw, sa, turning,
+                    diverged, sq, sp, n_done)
+
+        neg_inf = jnp.full((C,), -jnp.inf, q_s.dtype)
+        init = (jnp.int32(0), key, q_s, p_s, g_s, q_s, neg_inf,
+                jnp.zeros((C,), q_s.dtype), jnp.zeros((C,), bool),
+                jnp.zeros((C,), bool), stack_q, stack_p,
+                jnp.zeros((C,), jnp.int32))
+        (_, _, q, p, g, prop, log_sub_w, sum_alpha, turning, diverged,
+         _, _, n_done) = jax.lax.while_loop(cond, body, init)
+        return (q, p, g), prop, log_sub_w, turning, diverged, sum_alpha, n_done
+
+    def outer_cond(t: _TreeFleet):
+        return (t.depth < md) & jnp.any(~t.turning & ~t.diverged)
+
+    def outer_body(t: _TreeFleet) -> _TreeFleet:
+        key, kv, kacc, ksub = jax.random.split(t.key, 4)
+        active = ~t.turning & ~t.diverged                 # (C,)
+        v = jnp.where(jax.random.bernoulli(kv, shape=(C,)), 1.0, -1.0).astype(
+            q0.dtype
+        )
+        fwd = (v > 0)[:, None]
+        z_start = (
+            jnp.where(fwd, t.q_right, t.q_left),
+            jnp.where(fwd, t.p_right, t.p_left),
+            jnp.where(fwd, t.g_right, t.g_left),
+        )
+        (z_end, prop, log_sub_w, sub_turn, sub_div, sum_alpha, n_sub) = (
+            build_subtree(ksub, t.depth, z_start, v, active)
+        )
+        q_e, p_e, g_e = z_end
+        bad = sub_turn | sub_div
+        keep = active & ~bad
+        take = keep & (
+            jnp.log(jax.random.uniform(kacc, (C,), q0.dtype))
+            < log_sub_w - t.log_w
+        )
+        q_prop = jnp.where(take[:, None], prop, t.q_prop)
+        log_w = jnp.where(keep, jnp.logaddexp(t.log_w, log_sub_w), t.log_w)
+        upd_l = (keep & (v < 0))[:, None]
+        upd_r = (keep & (v > 0))[:, None]
+        q_left = jnp.where(upd_l, q_e, t.q_left)
+        p_left = jnp.where(upd_l, p_e, t.p_left)
+        g_left = jnp.where(upd_l, g_e, t.g_left)
+        q_right = jnp.where(upd_r, q_e, t.q_right)
+        p_right = jnp.where(upd_r, p_e, t.p_right)
+        g_right = jnp.where(upd_r, g_e, t.g_right)
+        dq = q_right - q_left
+        glob_turn = (rowdot(dq, p_left) < 0) | (rowdot(dq, p_right) < 0)
+        return _TreeFleet(
+            key=key,
+            depth=t.depth + 1,
+            q_left=q_left, p_left=p_left, g_left=g_left,
+            q_right=q_right, p_right=p_right, g_right=g_right,
+            q_prop=q_prop,
+            log_w=log_w,
+            turning=t.turning | (active & sub_turn) | (keep & glob_turn),
+            diverged=t.diverged | (active & sub_div),
+            sum_alpha=t.sum_alpha + sum_alpha,   # masked inside the subtree
+            n_alpha=t.n_alpha + n_sub.astype(jnp.float32),
+            n_leapfrog=t.n_leapfrog + n_sub,
+        )
+
+    t0 = _TreeFleet(
+        key=kloop,
+        depth=jnp.int32(0),
+        q_left=q0, p_left=p0, g_left=g0,
+        q_right=q0, p_right=p0, g_right=g0,
+        q_prop=q0,
+        log_w=jnp.zeros((C,), q0.dtype),
+        turning=jnp.zeros((C,), bool),
+        diverged=jnp.zeros((C,), bool),
+        sum_alpha=jnp.zeros((C,), q0.dtype),
+        n_alpha=jnp.zeros((C,), jnp.float32),
+        n_leapfrog=jnp.zeros((C,), jnp.int32),
+    )
+    t = jax.lax.while_loop(outer_cond, outer_body, t0)
+    logp_new, g_new = logp_and_grad(t.q_prop)
+    accept_stat = t.sum_alpha / jnp.maximum(t.n_alpha, 1.0)
+    return t.q_prop, logp_new, g_new, accept_stat, t.n_leapfrog, t.diverged
+
+
 def run_nuts(
     log_prob_fn: Callable[[Any], jnp.ndarray],
     position0: Any,

@@ -47,6 +47,63 @@ def test_manifold_nuts_recovers_and_stays_on_manifold(synth):
     assert post < 0.7 * prior, (post, prior)
 
 
+def test_manifold_nuts_fleet_matches_vmapped_chains(synth):
+    """The chain-merged fleet runner (one merged gradient per tree leaf)
+    agrees with vmap(run_manifold_nuts) statistically: same posterior
+    predictions within MC error, per-chain dynamic trees, manifold adherence,
+    healthy acceptance."""
+    import dataclasses
+
+    from gpt_tpu.inference.manifold_nuts import run_manifold_nuts_chains
+
+    y = synth.y[0.1]
+    C = 4
+    model_m = dataclasses.replace(synth.model, contraction="merged")
+    inits = jax.vmap(synth.model.init_params)(
+        jax.random.split(jax.random.PRNGKey(7), C)
+    )
+    eps = TensorGPParams(w=2e-4, U=2e-6)
+    cfg = NUTSConfig(max_depth=5, init_step_size=1.0)
+    samples, stats, step, finals = run_manifold_nuts_chains(
+        model_m, inits, jax.random.PRNGKey(8), synth.phi, y,
+        eps=eps, num_warmup=50, num_samples=50, config=cfg,
+    )
+    assert samples.w.shape == (50, C, synth.model.Q)
+    assert stats["accept_stat"].shape == (50, C) and step.shape == (C,)
+    # final params chain segments: equal to the last kept draw, on-manifold
+    assert bool(jnp.allclose(finals.w, samples.w[-1]))
+    n_lf = np.asarray(stats["n_leapfrog"])
+    assert n_lf.std() > 0 and n_lf.max() > 2
+    assert float(np.asarray(stats["accept_stat"]).mean()) > 0.5
+    assert not bool(np.asarray(stats["diverged"]).any())
+    # every kept draw of every chain on-manifold
+    UtU = jnp.einsum("scdni,scdnj->scdij", samples.U, samples.U)
+    assert float(jnp.max(jnp.abs(UtU - jnp.eye(synth.model.r)))) < 1e-3
+
+    # statistical agreement with the vmapped single-chain engine
+    ref_samples, ref_stats, _ = jax.vmap(
+        lambda p0, k: run_manifold_nuts(
+            synth.model, p0, k, synth.phi, y, eps=eps,
+            num_warmup=50, num_samples=50, config=cfg,
+        )
+    )(inits, jax.random.split(jax.random.PRNGKey(9), C))
+    pred_fleet = jnp.mean(
+        jax.vmap(jax.vmap(lambda p: synth.model.predict(p, synth.phi)))(samples),
+        axis=(0, 1),
+    )
+    pred_ref = jnp.mean(
+        jax.vmap(jax.vmap(lambda p: synth.model.predict(p, synth.phi)))(
+            ref_samples
+        ),
+        axis=(0, 1),
+    )
+    from gpt_tpu.utils.math import rmse as _rmse
+
+    gap = float(_rmse(pred_fleet, pred_ref))
+    spread = float(jnp.std(y))
+    assert gap < 0.35 * spread, (gap, spread)
+
+
 def test_manifold_nuts_reduces_to_euclidean_dynamics(synth):
     """With stiefel=False the same machinery samples the Euclidean model."""
     import dataclasses
