@@ -538,6 +538,7 @@ def run_sgld_megafused(
     data_chunk: int = 50,
     interpret: bool | None = None,
     stages: tuple = ("expand", "bwd", "manifold"),
+    loo_bf16: bool | None = None,
 ):
     """Chain-fleet SGLD where EVERY transition is ONE fused Pallas kernel.
 
@@ -557,12 +558,15 @@ def run_sgld_megafused(
     bit-identical to the vmap path — equivalence is exact for
     ``langevin=False`` and statistical otherwise (``tests/test_pallas_sgld.py``).
 
-    ``adapt_eps`` here is PER-CHAIN (each chain's η lives in its kernel lanes)
-    and does NOT honor ``adapt_patience``: η regrows by ``adapt_up`` on every
-    clean step rather than after ``adapt_patience`` consecutive clean steps
-    (the XLA path's fleet-shared rule, ``make_sgld_step``). Same fixed point —
-    stable chains sit at η=1, diverging chains back off — but the recovery
-    transient differs between runners.
+    ``adapt_eps`` here is PER-CHAIN (each chain's η, stable-step counter and
+    init-scale trust-region refs live in its kernel lanes) with the FULL r4
+    XLA-path semantics (``make_sgld_step``): η regrows only after
+    ``adapt_patience`` consecutive clean steps, and finite-but-absurd
+    Euclidean steps past ``adapt_rel_cap``/``adapt_trust`` of the init scale
+    are rejected. The one remaining scope difference vs the XLA path is
+    granularity: η/rejection are per chain here (a diverging chain cannot
+    slow its blockmates) vs fleet-shared there, and the Euclidean-factor
+    trust region checks per (chain, d) matrix vs the whole U leaf.
 
     Returns ``(params_final, collected, rejected_total)`` with params in the
     canonical (C, ...) layout.
@@ -613,7 +617,11 @@ def run_sgld_megafused(
     phi_bf16 = phi_pad.astype(jnp.bfloat16)
     y_pad = jnp.concatenate([y, jnp.zeros_like(y[:1])], axis=0)
     onehot = core_indicator(model.I, r, dtype=jnp.float32)          # (Q, D, r)
-    ohf, ohb = block_onehots(onehot, CB)
+    ohf = block_onehots(onehot, CB)
+    # VMEM-compact backward for big D·Q shapes (e.g. segment classification
+    # Q=200, D=16): the D retained g_d + suffix products exceed VMEM in f32
+    if loo_bf16 is None:
+        loo_bf16 = 2 * D * mc * CB * Q * 4 > 6_000_000
 
     if collect_fn is None:
         collect_fn = _collect_params
@@ -629,6 +637,18 @@ def run_sgld_megafused(
         return w3, U4
 
     w3_0, U4_0 = to_internal(params0_chains)
+    if config.adapt_eps:
+        # per-chain init-scale norms arm the trust region (refs row 0: w,
+        # rows 1..D: U_d) — lane order matches to_internal's chain-major
+        nw = jnp.linalg.norm(
+            params0_chains.w.reshape(NB, CB, Q), axis=-1)       # (NB, CB)
+        nU = jnp.linalg.norm(
+            params0_chains.U.reshape(NB, CB, D, n * r), axis=-1)  # (NB, CB, D)
+        refs0 = jnp.concatenate(
+            [nw[:, None, :], jnp.transpose(nU, (0, 2, 1))], axis=1
+        ).astype(jnp.float32)                                   # (NB, 1+D, CB)
+    else:
+        refs0 = jnp.zeros((0,), jnp.float32)
     kseed, kperm_base, knoise_base = jax.random.split(key, 3)
     base_seed = jax.random.randint(kseed, (), 0, jnp.iinfo(jnp.int32).max,
                                    dtype=jnp.int32)
@@ -643,8 +663,11 @@ def run_sgld_megafused(
         float(config.adapt_up), float(config.adapt_floor),
         stiefel, bool(config.rmsprop), float(config.rmsprop_alpha),
         float(config.rmsprop_lambda), ncls,
+        int(config.adapt_patience), float(config.adapt_trust),
+        float(config.adapt_rel_cap), float(config.adapt_rel_slack),
+        bool(loo_bf16),
     )
-    return program(w3_0, U4_0, phi_bf16, y_pad, ohf, ohb, base_seed,
+    return program(w3_0, U4_0, phi_bf16, y_pad, ohf, refs0, base_seed,
                    kperm_base, knoise_base)
 
 
@@ -669,7 +692,8 @@ def _megafused_program(
     stages, interpret, burnin, maxepoch, collect_fn,
     adapt=False, a_down=0.5, a_up=1.05, a_floor=1e-4,
     stiefel=True, rmsprop=False, rms_alpha=0.99, rms_lambda=1e-5,
-    ncls=0,
+    ncls=0, a_patience=50, a_trust=100.0, a_rel_cap=1.05, a_rel_slack=1.0,
+    loo_bf16=False,
 ):
     """Build (once per static configuration) the jitted megafused run program.
 
@@ -693,9 +717,9 @@ def _megafused_program(
             U = U.reshape(C // ncls, ncls, D, n, r)
         return params_cls(w=w, U=U)
 
-    def batch_body(phi_bf16, y_pad, ohf, ohb, base_seed, knoise_base,
+    def batch_body(phi_bf16, y_pad, ohf, refs, base_seed, knoise_base,
                    carry, b_and_idx):
-        w3, U4, eta3, Gw3, GU4, step, rejected = carry
+        w3, U4, eta3, stable3, Gw3, GU4, step, rejected = carry
         idx, wts = b_and_idx
         phi_b = phi_bf16[idx].reshape(Mch, mc, D, n)
         y_b = y_pad[idx].reshape(Mch, mc, 1)
@@ -707,8 +731,10 @@ def _megafused_program(
         scalars = jnp.stack(
             [scale, eps_w * decay_t, eps_U * decay_t, jnp.float32(a_down),
              jnp.float32(a_up), jnp.float32(a_floor),
-             jnp.float32(rms_alpha), jnp.float32(rms_lambda)]
-        ).reshape(1, 8)
+             jnp.float32(rms_alpha), jnp.float32(rms_lambda),
+             jnp.float32(a_patience), jnp.float32(a_trust),
+             jnp.float32(a_rel_cap), jnp.float32(a_rel_slack)]
+        ).reshape(1, 12)
         seed = (base_seed + step * jnp.int32(2654435761 & 0x7FFFFFFF)).reshape(1, 1)
         noise = None
         if input_noise:
@@ -719,28 +745,30 @@ def _megafused_program(
                 jax.random.normal(k2, (NB, D, n, CB * r), jnp.float32),
             )
         outs = list(fused_sgld_step(
-            w3, U4, phi_b, y_b, wts_b, ohf, ohb, scalars, seed,
+            w3, U4, phi_b, y_b, wts_b, ohf, scalars, seed,
             r=r, ns_iters=ns_iters, langevin=langevin,
             sigma_w2=sigma_w2, signal_var=signal_var,
             interpret=interpret, noise=noise, stages=stages,
-            eta3=eta3 if adapt else None, stiefel=stiefel,
+            adapt_state=(eta3, stable3, refs) if adapt else None,
+            stiefel=stiefel,
             precond=(Gw3, GU4) if rmsprop else None,
-            num_classes=ncls,
+            num_classes=ncls, loo_bf16=loo_bf16,
         ))
         w3n, U4n, rej = outs[:3]
-        eta3n = outs[3] if adapt else eta3
+        eta3n, stable3n = outs[3:5] if adapt else (eta3, stable3)
         Gw3n, GU4n = outs[-2:] if rmsprop else (Gw3, GU4)
         rej_total = rejected + jnp.sum(rej, dtype=jnp.int32)
-        return (w3n, U4n, eta3n, Gw3n, GU4n, step + 1, rej_total), None
+        return (w3n, U4n, eta3n, stable3n, Gw3n, GU4n, step + 1,
+                rej_total), None
 
     @jax.jit
-    def run(w3, U4, phi_bf16, y_pad, ohf, ohb, base_seed, kperm_base,
+    def run(w3, U4, phi_bf16, y_pad, ohf, refs, base_seed, kperm_base,
             knoise_base):
         def epoch_body(carry, e):
             kperm = jax.random.fold_in(kperm_base, e)
             idx, wts = _epoch_batches(kperm, N, B, m, pad)
             carry, _ = jax.lax.scan(
-                partial(batch_body, phi_bf16, y_pad, ohf, ohb, base_seed,
+                partial(batch_body, phi_bf16, y_pad, ohf, refs, base_seed,
                         knoise_base),
                 carry,
                 (idx, wts),
@@ -752,9 +780,10 @@ def _megafused_program(
             GU0 = jnp.zeros((NB, D, n, CB * r), jnp.float32)
         else:  # zero-size placeholders — no HBM cost when unused
             Gw0 = GU0 = jnp.zeros((0,), jnp.float32)
-        carry0 = (w3, U4, jnp.ones((NB, 1, CB), jnp.float32), Gw0, GU0,
+        carry0 = (w3, U4, jnp.ones((NB, 1, CB), jnp.float32),
+                  jnp.zeros((NB, 1, CB), jnp.float32), Gw0, GU0,
                   jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-        (w3f, U4f, _, _, _, _, rejected), collected = jax.lax.scan(
+        (w3f, U4f, _, _, _, _, _, rejected), collected = jax.lax.scan(
             epoch_body, carry0, jnp.arange(burnin + maxepoch)
         )
         collected = jax.tree.map(lambda a: a[burnin:], collected)

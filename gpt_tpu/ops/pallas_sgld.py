@@ -107,13 +107,16 @@ def _group_matrix(groups: int, width: int, transpose: bool):
 def _sgld_kernel(
     # static (closed over via functools.partial)
     D, n, r, Q, CB, mc, Mch, ns_iters, langevin, sigma_w2, signal_var, orth_tol,
-    tpu_prng, stages, adapt, stiefel, rmsprop, ncls,
+    tpu_prng, stages, adapt, stiefel, rmsprop, ncls, loo_bf16,
     # refs
-    scal_ref, seed_ref, phi_ref, y_ref, wt_ref, ohf_ref, ohb_ref, w_ref, U_ref,
+    scal_ref, seed_ref, phi_ref, y_ref, wt_ref, ohf_ref, w_ref, U_ref,
     *rest,
 ):
     rest = list(rest)
-    eta_ref = rest.pop(0) if adapt else None
+    if adapt:
+        eta_ref, stable_ref, refs_ref = rest.pop(0), rest.pop(0), rest.pop(0)
+    else:
+        eta_ref = stable_ref = refs_ref = None
     if rmsprop:
         Gw_ref, GU_ref = rest.pop(0), rest.pop(0)
     else:
@@ -123,7 +126,10 @@ def _sgld_kernel(
     else:
         nw_ref, nU_ref = rest.pop(0), rest.pop(0)
     wout_ref, Uout_ref, rej_ref = rest.pop(0), rest.pop(0), rest.pop(0)
-    etaout_ref = rest.pop(0) if adapt else None
+    if adapt:
+        etaout_ref, stableout_ref = rest.pop(0), rest.pop(0)
+    else:
+        etaout_ref = stableout_ref = None
     if rmsprop:
         Gwout_ref, GUout_ref = rest.pop(0), rest.pop(0)
     else:
@@ -177,6 +183,12 @@ def _sgld_kernel(
     # g_d[i, (chain, q)] = <phi_d(x_i), U_d[:, (chain, I[q, d])]> via the
     # block-diagonal one-hot expansion (the reference's computeV gather,
     # GPT_SGLD.jl:208-220, as a lane-layout MXU matmul).
+    # loo_bf16 (the VMEM-compact mode for big D·Q, e.g. segment-classification
+    # Q=200, D=16): the D retained g_d and their suffix products are held in
+    # bf16, halving the backward working set — the same "perturbs an
+    # already-stochastic gradient" class as the bf16 likelihood matmuls; V
+    # and fhat stay f32 (fhat must not round through bf16).
+    keep = bf16 if loo_bf16 else f32
     gs = []
     Ucs = []
     V = None
@@ -191,7 +203,7 @@ def _sgld_kernel(
                         preferred_element_type=f32)       # (mc, CBQ)
         else:  # timing bisect only: skip the block-one-hot expansion
             g = jax.lax.broadcast_in_dim(temp[:, :1], (mc, CBQ), (0, 1))
-        gs.append(g)
+        gs.append(g.astype(keep))
         V = g if V is None else V * g
 
     V, cnt = _scrub(V, q2c)                               # Π g_d can overflow
@@ -254,8 +266,14 @@ def _sgld_kernel(
                 loo = pre * sufs[d]
             gdbar, cnt = _scrub(Vbar * loo, q2c)          # (mc, CBQ)
             dirty = dirty + cnt
-            tempbar = jnp.dot(gdbar.astype(bf16), ohb_ref[d],
-                              preferred_element_type=f32)  # (mc, CBr)
+            # contract against ohf TRANSPOSED (A @ Bᵀ dot_general) — the
+            # separate (D, CBQ, CBr) ohb buffer used to cost as much VMEM as
+            # ohf itself, for bits already resident
+            tempbar = jax.lax.dot_general(
+                gdbar.astype(bf16), ohf_ref[d],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )                                             # (mc, CBr)
             Ubar_acc[d] += jax.lax.dot_general(
                 phi[:, d, :], tempbar.astype(bf16),
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -316,6 +334,30 @@ def _sgld_kernel(
         badc = jnp.dot(bad_w, q2c, preferred_element_type=f32,
                        precision=_HI)                     # (1, CB) counts
         okw = jnp.where(badc < 0.5, 1.0, 0.0) * okd       # (1, CB)
+        if adapt:
+            # r4 init-scale trust region (XLA path: make_sgld_step) for
+            # Euclidean leaves: reject FINITE-but-absurd steps — growth past
+            # rel_cap·‖old‖ + rel_slack per step, or past trust·(ref+1)
+            # absolute, ref = init-scale norm lanes (refs_ref row 0).
+            # Without this the kernel could accept the wedge step the whole
+            # mechanism exists to refuse (temperature-Kron ε=1e-6 cascade).
+            trust = scal_ref[0, 9]
+            rel_cap = scal_ref[0, 10]
+            rel_slack = scal_ref[0, 11]
+            w_new_s = jnp.where(jnp.isfinite(w_new), w_new, f32(0))
+            sq_new = jnp.dot(w_new_s * w_new_s, q2c,
+                             preferred_element_type=f32, precision=_HI)
+            sq_old = jnp.dot(w_c * w_c, q2c,
+                             preferred_element_type=f32, precision=_HI)
+            nrm_new = jnp.sqrt(sq_new)                    # (1, CB)
+            nrm_old = jnp.sqrt(sq_old)
+            ref_w = refs_ref[0, :1]                       # (1, CB)
+            ok_trust = jnp.where(
+                (nrm_new <= rel_cap * nrm_old + rel_slack)
+                & (nrm_new <= trust * (ref_w + 1.0)),
+                1.0, 0.0,
+            )
+            okw = okw * ok_trust
         okw_lane = jnp.dot(okw, c2q, preferred_element_type=f32,
                            precision=_HI) > 0.5           # (1, CBQ)
         wout_ref[0] = jnp.where(okw_lane, w_new, w)
@@ -359,6 +401,28 @@ def _sgld_kernel(
                 badUc = jnp.dot(bad_lane, r2c, preferred_element_type=f32,
                                 precision=_HI)                    # (1, CB)
                 okU = jnp.where(badUc < 0.5, 1.0, 0.0) * okd
+                if adapt:
+                    # trust region per (chain, d) factor matrix (the XLA path
+                    # checks the whole U leaf per chain; the kernel's
+                    # rejection granularity is per factor — documented)
+                    trust = scal_ref[0, 9]
+                    rel_cap = scal_ref[0, 10]
+                    rel_slack = scal_ref[0, 11]
+                    Unew_s = jnp.where(jnp.isfinite(Unew), Unew, f32(0))
+                    sq_new = jnp.dot(
+                        jnp.sum(Unew_s * Unew_s, axis=0, keepdims=True), r2c,
+                        preferred_element_type=f32, precision=_HI)
+                    sq_old = jnp.dot(
+                        jnp.sum(Ucat * Ucat, axis=0, keepdims=True), r2c,
+                        preferred_element_type=f32, precision=_HI)
+                    nrm_new = jnp.sqrt(sq_new)            # (1, CB)
+                    nrm_old = jnp.sqrt(sq_old)
+                    ref_d = refs_ref[0, 1 + d:2 + d]      # (1, CB)
+                    okU = okU * jnp.where(
+                        (nrm_new <= rel_cap * nrm_old + rel_slack)
+                        & (nrm_new <= trust * (ref_d + 1.0)),
+                        1.0, 0.0,
+                    )
                 ok_lane = jnp.dot(okU, c2r, preferred_element_type=f32,
                                   precision=_HI) > 0.5            # (1, CBr)
                 Uout_ref[0, d] = jnp.where(ok_lane, Unew, Ucat)
@@ -431,16 +495,25 @@ def _sgld_kernel(
 
         rej_ref[0] = rej.astype(jnp.int32)
         if adapt:
+            # per-chain η backoff with the XLA path's adapt_patience rule
+            # (make_sgld_step): a rejection zeroes the chain's stable-step
+            # counter and halves η; η only regrows after `patience`
+            # consecutive clean steps (not on every clean step — the r4
+            # kernel's regrow-always drift from the XLA semantics is closed).
             a_down = scal_ref[0, 3]
             a_up = scal_ref[0, 4]
             a_floor = scal_ref[0, 5]
+            patience = scal_ref[0, 8]
             rejected_c = rej > 0.5                        # (1, CB)
+            stable_new = jnp.where(rejected_c, 0.0, stable_ref[0] + 1.0)
             eta_new = jnp.where(
                 rejected_c,
                 jnp.maximum(a_floor, eta * a_down),
-                jnp.minimum(1.0, eta * a_up),
+                jnp.where(stable_new >= patience,
+                          jnp.minimum(1.0, eta * a_up), eta),
             )
             etaout_ref[0] = eta_new
+            stableout_ref[0] = stable_new
 
 
 def _fleet_grad_kernel(
@@ -703,18 +776,18 @@ def make_fused_grad_fn(model, phi: jnp.ndarray, y: jnp.ndarray, *,
 
 
 def block_onehots(onehot: jnp.ndarray, CB: int):
-    """Block-diagonal core-index expansion matrices for ``fused_sgld_step``.
+    """Block-diagonal core-index expansion matrix for ``fused_sgld_step``.
 
     ``onehot`` is the (Q, D, r) core indicator (``ops.contraction.core_indicator``).
-    Returns ``(ohf (D, CB*r, CB*Q), ohb (D, CB*Q, CB*r))`` in bf16:
+    Returns ``ohf (D, CB*r, CB*Q)`` in bf16:
     ``ohf[d, c*r + rho, c'*Q + q] = (c == c') * (I[q, d] == rho)``.
+    (The backward contracts against ohf TRANSPOSED via dot_general — the old
+    separate ohb buffer doubled the one-hot VMEM for bits already resident.)
     """
     base = jnp.transpose(onehot, (1, 2, 0)).astype(jnp.bfloat16)  # (D, r, Q)
     eye = jnp.eye(CB, dtype=jnp.bfloat16)
     D, r, Q = base.shape
-    ohf = jnp.einsum("ce,drq->dcreq", eye, base).reshape(D, CB * r, CB * Q)
-    ohb = jnp.transpose(ohf, (0, 2, 1))
-    return ohf, ohb
+    return jnp.einsum("ce,drq->dcreq", eye, base).reshape(D, CB * r, CB * Q)
 
 
 def fused_sgld_step(
@@ -724,8 +797,7 @@ def fused_sgld_step(
     y_b: jnp.ndarray,     # (Mch, mc, 1) f32
     wts: jnp.ndarray,     # (Mch, mc, 1) f32
     ohf: jnp.ndarray,     # (D, CB*r, CB*Q) bf16 — see block_onehots
-    ohb: jnp.ndarray,     # (D, CB*Q, CB*r) bf16
-    scalars: jnp.ndarray, # (1, 8) f32: [scale, eps_w, eps_U, adapt_down, adapt_up, adapt_floor, rms_alpha, rms_lambda]
+    scalars: jnp.ndarray, # (1, 12) f32: [scale, eps_w, eps_U, adapt_down, adapt_up, adapt_floor, rms_alpha, rms_lambda, adapt_patience, adapt_trust, adapt_rel_cap, adapt_rel_slack]
     seed: jnp.ndarray,    # (1, 1) int32
     *,
     r: int,
@@ -737,21 +809,31 @@ def fused_sgld_step(
     interpret: bool = False,
     noise: tuple | None = None,
     stages: tuple = ("expand", "bwd", "manifold"),
-    eta3: jnp.ndarray | None = None,  # (NB, 1, CB) f32 per-chain step scale
+    adapt_state: tuple | None = None,  # (eta3, stable3 (NB,1,CB) f32, refs (NB,1+D,CB) f32)
     stiefel: bool = True,
     precond: tuple | None = None,  # (Gw3 (NB,1,CB*Q), GU4 (NB,D,n,CB*r)) f32
     num_classes: int = 0,  # >0: (chain, class) super-chains, softmax residual
+    loo_bf16: bool = False,
 ):
     """One fused SGLD transition for the whole fleet. Returns
-    ``(w3_new, U4_new, rejected (NB, 1, CB) int32[, eta3_new][, Gw3, GU4])``.
+    ``(w3_new, U4_new, rejected (NB, 1, CB) int32[, eta3_new, stable3_new][, Gw3, GU4])``.
 
     ``noise=(nw (NB, 1, CB*Q), nU (NB, D, n, CB*r))`` supplies the Langevin
     normals as inputs instead of the in-kernel TPU PRNG — used on backends
     without ``prng_seed`` support (interpret mode) and for deterministic
-    testing. ``eta3`` enables per-chain step-size adaptation: each chain's
-    eps is scaled by its eta, halved (scalars[0,3]) when the chain rejects
-    and multiplied back up (scalars[0,4], capped at 1, floored at
-    scalars[0,5]) on success; a fourth output carries the updated etas.
+    testing.
+
+    ``adapt_state=(eta3, stable3, refs)`` enables per-chain step-size
+    adaptation with the FULL r4 XLA-path semantics (``make_sgld_step``):
+    each chain's eps scales by its eta; a rejection halves eta
+    (scalars[0,3], floored at scalars[0,5]) and zeroes the chain's
+    stable-step counter; eta regrows (scalars[0,4], capped at 1) only after
+    ``adapt_patience`` (scalars[0,8]) consecutive clean steps. ``refs`` rows
+    are per-chain init-scale norms (row 0: w, rows 1..D: U_d) arming the
+    trust region on Euclidean leaves — reject finite-but-absurd steps past
+    ``adapt_rel_cap·‖old‖ + adapt_rel_slack`` per step or
+    ``adapt_trust·(ref+1)`` absolute. Outputs 4/5 carry the updated
+    (eta3, stable3).
 
     ``stiefel=False`` switches the factor update to Euclidean SGLD with the
     Gaussian N(0, 1/n) prior gradient (the reference's ``-n*U`` term,
@@ -760,27 +842,34 @@ def fused_sgld_step(
     in-kernel and returned as two extra outputs; the Stiefel step uses the
     per-matrix mean step scale as its scalar geodesic time,
     ``GPT_SGLD.jl:1206-1210``).
+
+    ``loo_bf16`` holds the backward's retained g_d / suffix products in bf16
+    — halves the big-D·Q VMEM working set (the Q=200 D=16 classification
+    shape exceeds VMEM in f32), perturbing only the already-stochastic
+    gradient.
     """
     NB, one, CBQ = w3.shape
     NB2, D, n, CBr = U4.shape
     Mch, mc, D2, n2 = phi_b.shape
-    if tuple(scalars.shape) != (1, 8):
+    if tuple(scalars.shape) != (1, 12):
         raise ValueError(
-            f"scalars must be (1, 8) [scale, eps_w, eps_U, adapt_down, "
-            f"adapt_up, adapt_floor, 0, 0]; got {scalars.shape}"
+            f"scalars must be (1, 12) [scale, eps_w, eps_U, adapt_down, "
+            f"adapt_up, adapt_floor, rms_alpha, rms_lambda, adapt_patience, "
+            f"adapt_trust, adapt_rel_cap, adapt_rel_slack]; got {scalars.shape}"
         )
     CB = CBr // r
     Q = CBQ // CB
     assert NB == NB2 and D == D2 and n == n2 and one == 1
     assert CBr == CB * r and CBQ == CB * Q
     tpu_prng = noise is None
-    adapt = eta3 is not None
+    adapt = adapt_state is not None
     rmsprop = precond is not None
 
     kernel = functools.partial(
         _sgld_kernel, D, n, r, Q, CB, mc, Mch, ns_iters, langevin,
         float(sigma_w2), float(signal_var), float(orth_tol), tpu_prng,
         frozenset(stages), adapt, bool(stiefel), rmsprop, int(num_classes),
+        bool(loo_bf16),
     )
     if num_classes and CB % num_classes:
         raise ValueError(
@@ -793,17 +882,24 @@ def fused_sgld_step(
                           memory_space=pltpu.VMEM)
     eta_spec = pl.BlockSpec((1, 1, CB), lambda c, j: (c, 0, 0),
                             memory_space=pltpu.VMEM)
+    refs_spec = pl.BlockSpec((1, 1 + D, CB), lambda c, j: (c, 0, 0),
+                             memory_space=pltpu.VMEM)
     extra_specs = []
     extra_args = []
-    aliases = {7: 0, 8: 1}
+    aliases = {6: 0, 7: 1}  # w3 -> w_out, U4 -> U_out (in place)
     extra_out_specs = []
     extra_out_shapes = []
     if adapt:
-        extra_specs.append(eta_spec)
-        extra_args.append(eta3)
-        aliases[8 + len(extra_args)] = 3 + len(extra_out_shapes)
-        extra_out_specs.append(eta_spec)
-        extra_out_shapes.append(jax.ShapeDtypeStruct((NB, 1, CB), jnp.float32))
+        eta3, stable3, refs = adapt_state
+        for buf in (eta3, stable3):
+            extra_specs.append(eta_spec)
+            extra_args.append(buf)
+            aliases[7 + len(extra_args)] = 3 + len(extra_out_shapes)
+            extra_out_specs.append(eta_spec)
+            extra_out_shapes.append(
+                jax.ShapeDtypeStruct((NB, 1, CB), jnp.float32))
+        extra_specs.append(refs_spec)
+        extra_args.append(refs)
     if rmsprop:
         for buf, spec, shape in (
             (precond[0], w_spec, (NB, 1, CBQ)),
@@ -811,7 +907,7 @@ def fused_sgld_step(
         ):
             extra_specs.append(spec)
             extra_args.append(buf)
-            aliases[8 + len(extra_args)] = 3 + len(extra_out_shapes)
+            aliases[7 + len(extra_args)] = 3 + len(extra_out_shapes)
             extra_out_specs.append(spec)
             extra_out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
     if not tpu_prng and langevin:
@@ -834,7 +930,7 @@ def fused_sgld_step(
         kernel,
         grid=(NB, Mch),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda c, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 12), lambda c, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda c, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, mc, D, n), lambda c, j: (j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -843,8 +939,6 @@ def fused_sgld_step(
             pl.BlockSpec((1, mc, 1), lambda c, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D, CBr, CBQ), lambda c, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, CBQ, CBr), lambda c, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, CBQ), lambda c, j: (c, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -863,4 +957,4 @@ def fused_sgld_step(
         # which dwarfs the kernel's own cost at large C.
         input_output_aliases=aliases,
         interpret=interpret,
-    )(scalars, seed, phi_b, y_b, wts, ohf, ohb, w3, U4, *extra_args)
+    )(scalars, seed, phi_b, y_b, wts, ohf, w3, U4, *extra_args)

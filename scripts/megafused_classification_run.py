@@ -38,7 +38,8 @@ from gpt_tpu.utils.records import append_record
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_one(tag, n, r, Q, epsw, epsU, C=16, epochs=100, dc=25):
+def run_one(tag, n, r, Q, epsw, epsU, C=16, epochs=100, dc=25,
+            loo_bf16=None):
     split = load_segment()
     key = jax.random.PRNGKey(17)
     kI, kf, kp, ks = jax.random.split(key, 4)
@@ -63,7 +64,7 @@ def run_one(tag, n, r, Q, epsw, epsU, C=16, epochs=100, dc=25):
     final, probs, rej = run_sgld_megafused(
         model, params0, ks, phi_tr, y_tr, m=50, config=cfg,
         burnin=epochs // 2, maxepoch=epochs // 2, collect_fn=collect,
-        chain_block=split.num_classes, data_chunk=dc,
+        chain_block=split.num_classes, data_chunk=dc, loo_bf16=loo_bf16,
     )
     jax.block_until_ready(probs)
     wall = time.time() - t0
@@ -84,13 +85,16 @@ def run_one(tag, n, r, Q, epsw, epsU, C=16, epochs=100, dc=25):
 
 
 def main():
-    # Q=100 (vs the XLA row's 200): segment has D=19 dims and 7 classes, and
-    # the kernel's block one-hots scale as D*(CB*r)*(CB*Q) with CB forced to
-    # a multiple of num_classes — Q=200 exceeds the 16 MB scoped-VMEM limit
-    # at CB=7. Config differences stated in the record.
-    run_one("honest stiefel", n=20, r=5, Q=100, epsw=1e-4, epsU=1e-6, epochs=400)
-    run_one("literal ImageExperiment (r>n, euclidean)", n=5, r=10, Q=100,
-            epsw=1e-4, epsU=1e-5, epochs=400)
+    # Q=200 — the reference's LITERAL capacity (ImageExperiment.jl:18),
+    # closing the r4 gap where the in-kernel path capped at Q=100: the r5
+    # kernel drops the separate ohb buffer (backward contracts ohf
+    # transposed) and holds the D retained g_d / suffix products in bf16
+    # (loo_bf16), halving the VMEM working set that used to overflow at
+    # CB=7, D=19, Q=200.
+    run_one("honest stiefel", n=20, r=5, Q=200, epsw=1e-4, epsU=1e-6,
+            epochs=400, loo_bf16=True)
+    run_one("literal ImageExperiment (r>n, euclidean)", n=5, r=10, Q=200,
+            epsw=1e-4, epsU=1e-5, epochs=400, loo_bf16=True)
 
 
 if __name__ == "__main__":

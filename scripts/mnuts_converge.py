@@ -102,10 +102,13 @@ def main():
     eps = TensorGPParams(w=P.epsw, U=P.epsU)
     cfg = NUTSConfig(max_depth=md, init_step_size=1.0)
 
-    # segment sizes scaled so one dispatch stays under ~90 s of device time
-    # (a full-depth draw costs ~2^md merged gradients)
+    # segment sizes scaled so one dispatch stays under ~40 s of device time
+    # (a full-depth draw costs ~2^md merged gradients; the tunnelled chip
+    # faults dispatches past ~2 min and occasionally faults shorter ones —
+    # segments are retried once and the state is checkpointed to disk)
     SEGW = max(10, (50 * 256) >> md)
-    SEG = max(20, (100 * 256) >> md)
+    SEG = SEGW
+    ckpt_path = f"/tmp/mnuts_ckpt_C{C}_md{md}{'_smoke' if smoke else ''}.npz"
 
     warm_run = jax.jit(partial(
         run_manifold_nuts_chains, model, phi=phi, y=y, eps=eps,
@@ -118,31 +121,75 @@ def main():
         collect_fn=collect, grad_backend=grad_backend,
     ))
 
+    def retry(fn, *a, **k):
+        """One retry on the tunnelled chip's transient device faults."""
+        try:
+            return fn(*a, **k)
+        except Exception as e:  # jax.errors.JaxRuntimeError and friends
+            print(f"segment faulted ({type(e).__name__}: {e}); retrying once",
+                  flush=True)
+            time.sleep(10)
+            return fn(*a, **k)
+
+    t_prev = 0.0
+
+    def save_ckpt(tag, seg_idx, params, step, payload):
+        np.savez(ckpt_path, tag=tag, seg=seg_idx,
+                 w=np.asarray(params.w), U=np.asarray(params.U),
+                 step=np.asarray(step),
+                 secs=t_prev + (time.time() - t0), **payload)
+
     t0 = time.time()
     step = jnp.full((C,), jnp.float32(cfg.init_step_size))
+    probes_segs, acc_segs, nlf_segs, div_segs = [], [], [], []
+    warm_done, samp_done = 0, 0
+    if "--resume" in flags and os.path.exists(ckpt_path):
+        ck = np.load(ckpt_path, allow_pickle=False)
+        params = TensorGPParams(w=jnp.asarray(ck["w"]), U=jnp.asarray(ck["U"]))
+        step = jnp.asarray(ck["step"])
+        t_prev = float(ck["secs"]) if "secs" in ck else 0.0
+        if str(ck["tag"]) == "warm":
+            warm_done = int(ck["seg"])
+        else:
+            warm_done = 10**9  # warmup finished
+            samp_done = int(ck["seg"])
+            probes_segs = [ck[f"pr{i}"] for i in range(samp_done)]
+            acc_segs = [ck[f"ac{i}"] for i in range(samp_done)]
+            nlf_segs = [ck[f"nl{i}"] for i in range(samp_done)]
+            div_segs = [ck[f"dv{i}"] for i in range(samp_done)]
+        print(f"resumed from {ckpt_path}: warm_done={min(warm_done, 10**6)} "
+              f"samp_done={samp_done}", flush=True)
+
     nwarm = -(-warmup // SEGW)
-    for b in range(nwarm):
+    for b in range(warm_done if warm_done < 10**9 else nwarm, nwarm):
         kb = jax.random.fold_in(ks, 1000 + b)
-        _, _, step, params = warm_run(params, kb, step_size0=step)
+        _, _, step, params = retry(warm_run, params, kb, step_size0=step)
         jax.block_until_ready(step)
+        save_ckpt("warm", b + 1, params, step, {})
         print(f"warm seg {b+1}/{nwarm}: step median {float(jnp.median(step)):.4g} "
               f"[{float(jnp.min(step)):.3g}, {float(jnp.max(step)):.3g}] "
               f"t={time.time()-t0:.0f}s", flush=True)
 
-    probes_segs, acc_segs, nlf_segs, div_segs = [], [], [], []
     nseg = -(-keep // SEG)
-    for s in range(nseg):
+    for s in range(samp_done, nseg):
         kseg = jax.random.fold_in(ks, 2000 + s)
-        pr, stats, _, params = seg_run(params, kseg, step_size0=step)
+        pr, stats, _, params = retry(seg_run, params, kseg, step_size0=step)
         jax.block_until_ready(pr)
         probes_segs.append(np.asarray(pr))
         acc_segs.append(np.asarray(stats["accept_stat"]))
         nlf_segs.append(np.asarray(stats["n_leapfrog"]))
         div_segs.append(np.asarray(stats["diverged"]))
+        payload = {}
+        for i in range(len(probes_segs)):
+            payload[f"pr{i}"] = probes_segs[i]
+            payload[f"ac{i}"] = acc_segs[i]
+            payload[f"nl{i}"] = nlf_segs[i]
+            payload[f"dv{i}"] = div_segs[i]
+        save_ckpt("sample", s + 1, params, step, payload)
         print(f"sample seg {s+1}/{nseg}: acc {acc_segs[-1].mean():.3f} "
               f"n_lf mean {nlf_segs[-1].mean():.0f} t={time.time()-t0:.0f}s",
               flush=True)
-    wall = time.time() - t0
+    wall = t_prev + (time.time() - t0)
 
     probes = np.concatenate(probes_segs, axis=0)[:keep].transpose(1, 0, 2)
     acc = np.concatenate(acc_segs, axis=0)[:keep]

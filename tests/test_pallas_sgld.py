@@ -267,6 +267,129 @@ def test_megafused_adapt_eps_recovers_hot_config(key):
     assert float(jnp.max(jnp.abs(UtU - jnp.eye(model.r)))) < 1e-3
 
 
+def test_megafused_adapt_patience_semantics(key):
+    """Kernel-level check of the r5 adaptation port (XLA make_sgld_step
+    semantics): a rejection halves eta and zeroes the stable counter; eta
+    regrows only after `adapt_patience` consecutive clean steps."""
+    from gpt_tpu.ops.contraction import core_indicator
+    from gpt_tpu.ops.pallas_sgld import block_onehots, fused_sgld_step
+
+    model, params0, phi, y, ks = _setup(key, C=2)
+    C, Q = params0.w.shape
+    D, n, r = model.D, model.n, model.r
+    CB, NB = C, 1
+    w3 = params0.w.reshape(NB, 1, CB * Q)
+    U4 = jnp.transpose(
+        params0.U.reshape(NB, CB, D, n, r), (0, 2, 3, 1, 4)
+    ).reshape(NB, D, n, CB * r)
+    ohf = block_onehots(core_indicator(model.I, r, dtype=jnp.float32), CB)
+    m = 8
+    phi_b = phi[:m].astype(jnp.bfloat16).reshape(1, m, D, n)
+    y_b = y[:m].reshape(1, m, 1)
+    wts = jnp.ones((1, m, 1), jnp.float32)
+    seed = jnp.zeros((1, 1), jnp.int32)
+    nw = jnp.linalg.norm(params0.w, axis=-1).reshape(NB, 1, CB)
+    nU = jnp.linalg.norm(
+        params0.U.reshape(NB, CB, D, n * r), axis=-1)
+    refs = jnp.concatenate(
+        [nw, jnp.transpose(nU, (0, 2, 1))], axis=1).astype(jnp.float32)
+
+    def scalars(eps_U):
+        # [scale, eps_w, eps_U, down, up, floor, rms_a, rms_l,
+        #  patience, trust, rel_cap, rel_slack]
+        return jnp.array([[1.0, 1e-5, eps_U, 0.5, 1.05, 1e-8, 0.99, 1e-5,
+                           3.0, 100.0, 1.05, 1.0]], jnp.float32)
+
+    eta = jnp.ones((NB, 1, CB), jnp.float32)
+    stable = jnp.zeros((NB, 1, CB), jnp.float32)
+
+    def step(eps_U, eta, stable):
+        w3n, U4n, rej, eta_n, stable_n = fused_sgld_step(
+            w3, U4, phi_b, y_b, wts, ohf, scalars(eps_U), seed,
+            r=r, langevin=False, sigma_w2=float(model.sigma_w) ** 2,
+            signal_var=float(model.signal_var), interpret=True,
+            adapt_state=(eta, stable, refs),
+        )
+        return np.asarray(rej), np.asarray(eta_n), np.asarray(stable_n)
+
+    # step 1: exploding transport -> every chain rejects, eta halves
+    rej, eta, stable = step(50.0, eta, stable)
+    assert rej.sum() > 0
+    np.testing.assert_allclose(eta, 0.5)
+    np.testing.assert_allclose(stable, 0.0)
+    # clean steps: eta must HOLD at 0.5 until patience(3) is reached
+    for want_stable, want_eta in [(1, 0.5), (2, 0.5), (3, 0.5 * 1.05)]:
+        rej, eta, stable = step(1e-8, jnp.asarray(eta), jnp.asarray(stable))
+        assert rej.sum() == 0
+        np.testing.assert_allclose(stable, float(want_stable))
+        np.testing.assert_allclose(eta, want_eta, rtol=1e-6)
+
+
+def test_megafused_trust_region_rejects_finite_cascade(key):
+    """adapt_eps arms the init-scale trust region in-kernel: a FINITE but
+    absurd Euclidean step (the temperature-Kron wedge class) is rejected;
+    without adaptation the same step is accepted. Cross-engine: the XLA path
+    clamps the same scenario."""
+    model, params0, phi, y, ks = _setup(key)
+    model = dataclasses.replace(model, stiefel=False)
+    # eps_w large enough that the half-step drift cascades to ~1e5x the init
+    # scale within one epoch while every individual value stays FINITE (the
+    # class the NaN guard alone cannot catch)
+    hot = SGLDConfig(
+        eps=TensorGPParams(w=10.0, U=1e-8), transport="polar", langevin=False
+    )
+    fixed, _, rej_fixed = run_sgld_megafused(
+        model, params0, ks, phi, y, m=8, config=hot, burnin=1, maxepoch=0,
+        collect_fn=lambda p: (), chain_block=2, data_chunk=4,
+    )
+    grew = float(jnp.max(jnp.linalg.norm(fixed.w, axis=-1)))
+    ref = float(jnp.max(jnp.linalg.norm(params0.w, axis=-1)))
+    assert int(rej_fixed) == 0 and grew > 100.0 * (ref + 1.0), (grew, ref)
+
+    guarded, _, rej_adapt = run_sgld_megafused(
+        model, params0, ks, phi, y, m=8,
+        config=dataclasses.replace(hot, adapt_eps=True),
+        burnin=1, maxepoch=0, collect_fn=lambda p: (), chain_block=2,
+        data_chunk=4,
+    )
+    assert int(rej_adapt) > 0
+    assert float(jnp.max(jnp.linalg.norm(guarded.w, axis=-1))) <= 100.0 * (ref + 1.0)
+
+    # XLA engine, same scenario: trust region holds there too (engine parity)
+    xla_final, _ = run_sgld_chains_fused(
+        model, params0, ks, phi, y, m=8,
+        config=dataclasses.replace(hot, adapt_eps=True),
+        burnin=1, maxepoch=0, collect_fn=lambda p: (),
+    )
+    assert float(jnp.max(jnp.linalg.norm(xla_final.params.w, axis=-1))) <= (
+        100.0 * (ref + 1.0)
+    )
+
+
+def test_megafused_loo_bf16_parity(key):
+    """The VMEM-compact backward (bf16 retained g_d / suffix products) tracks
+    the f32 backward within bf16 gradient tolerance."""
+    model, params0, phi, y, ks = _setup(key)
+    config = SGLDConfig(
+        eps=TensorGPParams(w=1e-4, U=1e-6), transport="polar", langevin=False
+    )
+    outs = []
+    for compact in (False, True):
+        final, _, rej = run_sgld_megafused(
+            model, params0, ks, phi, y, m=8, config=config, burnin=3,
+            maxepoch=0, collect_fn=lambda p: (), chain_block=2, data_chunk=4,
+            loo_bf16=compact,
+        )
+        assert int(rej) == 0
+        outs.append(final)
+    np.testing.assert_allclose(
+        np.asarray(outs[0].w), np.asarray(outs[1].w), rtol=2e-2, atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[0].U), np.asarray(outs[1].U), rtol=2e-2, atol=2e-4,
+    )
+
+
 def test_megafused_euclidean_matches_fused_xla(key):
     """stiefel=False (Gaussian-prior factors): megafused ≡ XLA, langevin=False.
 
