@@ -105,6 +105,7 @@ def run_sharded_chains(
     burnin: int,
     maxepoch: int,
     collect_fn: Callable | None = None,
+    adapt_sync: str = "step",
 ):
     """Full sharded training run: scan over epochs/batches on a mesh.
 
@@ -115,7 +116,18 @@ def run_sharded_chains(
     ``shard_map`` step, so per-step host dispatch never happens.
     Returns ``(final_states, collected)``; ``collected`` has shape
     ``(chains, maxepoch, ...)`` thinned to post-burnin epoch ends.
+
+    ``adapt_sync`` (adapt_eps only) picks where the fleet-min η coupling is
+    all-reduced over the chain axis: ``"step"`` (every minibatch — the exact
+    single-host semantics; free on ICI, but a per-step small-message
+    all-reduce is LATENCY-bound over DCN at multi-host scale) or ``"epoch"``
+    (once per epoch — a chain that rejects still backs ITSELF off
+    immediately via its local η; only the fleet-wide coupling lags ≤1 epoch;
+    the per-step chain-axis collective disappears — see
+    SCALING_devices.md's DCN cost model).
     """
+    if adapt_sync not in ("step", "epoch"):
+        raise ValueError(f"adapt_sync must be 'step' or 'epoch', got {adapt_sync!r}")
     from jax.sharding import NamedSharding
 
     N = y.shape[0]
@@ -145,20 +157,25 @@ def run_sharded_chains(
         idx = jnp.concatenate([perm, jnp.full((pad,), N, perm.dtype)]).reshape(B, m)
         wts = wts_all.reshape(B, m)
 
+        def fleet_min_sync(s):
+            # fleet coupling: the most conservative chain's step scale wins
+            # everywhere (an all-reduce over the mesh chain axis under jit)
+            # — one diverging chain backs the whole fleet off, matching the
+            # globally-agreed rejection style of the TP path.
+            return s._replace(
+                eta=jnp.broadcast_to(jnp.min(s.eta), s.eta.shape),
+                stable=jnp.broadcast_to(jnp.min(s.stable), s.stable.shape),
+            )
+
         def batch_body(s, b):
             s = step(s, phi_pad[idx[b]], y_pad[idx[b]], wts[b])
-            if config.adapt_eps:
-                # fleet coupling: the most conservative chain's step scale
-                # wins everywhere (an all-reduce over the mesh chain axis
-                # under jit) — one diverging chain backs the whole fleet off,
-                # matching the globally-agreed rejection style of the TP path.
-                s = s._replace(
-                    eta=jnp.broadcast_to(jnp.min(s.eta), s.eta.shape),
-                    stable=jnp.broadcast_to(jnp.min(s.stable), s.stable.shape),
-                )
+            if config.adapt_eps and adapt_sync == "step":
+                s = fleet_min_sync(s)
             return s, None
 
         st, _ = jax.lax.scan(batch_body, st, jnp.arange(B))
+        if config.adapt_eps and adapt_sync == "epoch":
+            st = fleet_min_sync(st)
         return st, jax.vmap(collect_fn)(st.params)
 
     @jax.jit

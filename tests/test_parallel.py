@@ -101,6 +101,30 @@ def test_run_sharded_chains_recovers(synth):
     assert bool(jnp.all(jnp.isfinite(collected)))
 
 
+def test_run_sharded_chains_adapt_sync_epoch(synth):
+    """adapt_sync='epoch' (the DCN-friendly fleet-η coupling) runs, stays
+    finite, and a stable config keeps η at 1 on every chain — identical
+    fixed-point to per-step sync."""
+    y = synth.y[0.1]
+    mesh = make_mesh(chain=8, data=1)
+    cfg = SGLDConfig(eps=TensorGPParams(w=3e-5, U=3e-7), adapt_eps=True)
+    outs = {}
+    for sync in ("step", "epoch"):
+        final, collected = run_sharded_chains(
+            synth.model, mesh, jax.random.PRNGKey(2), synth.phi, y,
+            num_chains=8, m=32, config=cfg, burnin=4, maxepoch=3,
+            collect_fn=lambda p: synth.model.predict(p, synth.phi),
+            adapt_sync=sync,
+        )
+        assert bool(jnp.all(jnp.isfinite(collected)))
+        np.testing.assert_allclose(np.asarray(final.eta), 1.0)
+        outs[sync] = collected
+    # stable run: no rejection ever fires, so the two sync policies are the
+    # same program up to the (absent) coupling — results agree
+    np.testing.assert_allclose(
+        np.asarray(outs["step"]), np.asarray(outs["epoch"]), rtol=1e-6)
+
+
 def test_cross_chain_moments():
     samples = jnp.stack([jnp.zeros((10, 3)), jnp.ones((10, 3)) * 2])
     mean, var = cross_chain_moments(samples)
