@@ -16,6 +16,7 @@ from gpt_tpu.parallel.fleet import (
     run_chain_fleet,
     run_gibbs_fleet,
     run_gmc_fleet,
+    run_manifold_nuts_fleet,
 )
 from gpt_tpu.parallel.distributed import (
     initialize_distributed,
@@ -38,6 +39,7 @@ __all__ = [
     "run_chain_fleet",
     "run_gibbs_fleet",
     "run_gmc_fleet",
+    "run_manifold_nuts_fleet",
     "initialize_distributed",
     "make_host_mesh",
     "process_local_chains",

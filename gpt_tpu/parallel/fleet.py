@@ -154,3 +154,63 @@ def run_gmc_fleet(
         )
 
     return run_chain_fleet(mesh, run_one, params0, keys)
+
+
+def run_manifold_nuts_fleet(
+    model,
+    mesh,
+    key: jax.Array,
+    phi: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    num_chains: int,
+    eps,
+    num_warmup: int,
+    num_samples: int,
+    config=None,
+    grad_backend: str = "xla",
+):
+    """Sharded fleet of chain-MERGED manifold-NUTS chains.
+
+    Completes the fleet family (SGLD/Gibbs/GMC/megafused) for the dynamic-
+    trajectory engine: each device's chain shard advances through
+    :func:`gpt_tpu.inference.manifold_nuts.run_manifold_nuts_chains` (every
+    tree leaf = one merged shard gradient), devices independent — chains
+    stay embarrassingly parallel; only diagnostics cross shards afterwards.
+
+    Returns ``(samples, stats, step_size, final_params)`` with chain-leading
+    axes: samples leaves ``(num_chains, num_samples, ...)``, stats
+    ``(num_chains, num_samples)``, ``step_size (num_chains,)``.
+    """
+    from gpt_tpu.inference.manifold_nuts import run_manifold_nuts_chains
+    from gpt_tpu.inference.nuts import NUTSConfig
+
+    if config is None:
+        config = NUTSConfig(init_step_size=1.0)
+    ndev = mesh.shape[CHAIN_AXIS]
+    if num_chains % ndev:
+        raise ValueError(f"{num_chains} chains not divisible over {ndev} devices")
+    kp, ks = jax.random.split(key)
+    params0 = jax.vmap(model.init_params)(jax.random.split(kp, num_chains))
+    params0 = jax.tree.map(lambda a: a.astype(phi.dtype), params0)
+    keys = jax.vmap(lambda i: jax.random.fold_in(ks, i))(jnp.arange(ndev))
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(CHAIN_AXIS), P(CHAIN_AXIS)),
+        out_specs=P(CHAIN_AXIS),
+        check_vma=False,
+    )
+    def fleet(p, k):
+        samples, stats, step, finals = run_manifold_nuts_chains(
+            model, p, k[0], phi, y, eps=eps, num_warmup=num_warmup,
+            num_samples=num_samples, config=config,
+            grad_backend=grad_backend,
+        )
+        samples = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), samples)
+        stats = {k2: jnp.swapaxes(v, 0, 1) for k2, v in stats.items()}
+        return samples, stats, step, finals
+
+    return fleet(params0, keys)

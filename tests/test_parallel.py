@@ -258,3 +258,47 @@ def test_gmc_merged_fleet_matches_per_shard():
             np.asarray(accs[sl]), np.asarray(jnp.swapaxes(a_d, 0, 1)),
             rtol=1e-5, atol=1e-6
         )
+
+
+def test_manifold_nuts_fleet_sharded():
+    """Sharded chain-merged manifold-NUTS fleet: shapes, manifold adherence,
+    and exact agreement with per-shard run_manifold_nuts_chains calls under
+    the same fold_in keys."""
+    import dataclasses
+
+    from gpt_tpu.inference.manifold_nuts import run_manifold_nuts_chains
+    from gpt_tpu.inference.nuts import NUTSConfig
+    from gpt_tpu.parallel import run_manifold_nuts_fleet
+
+    synth = make_tensor_synth(jax.random.PRNGKey(0), N=60, D=3, n=4, r=2, Q=6)
+    model = dataclasses.replace(synth.model, contraction="merged")
+    y = synth.y[0.1]
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    C = 8
+    eps = TensorGPParams(w=2e-4, U=2e-6)
+    cfg = NUTSConfig(max_depth=4, init_step_size=1.0)
+    key = jax.random.PRNGKey(7)
+    samples, stats, step, finals = run_manifold_nuts_fleet(
+        model, mesh, key, synth.phi, y, num_chains=C, eps=eps,
+        num_warmup=5, num_samples=6, config=cfg,
+    )
+    assert samples.w.shape == (C, 6, model.Q)
+    assert stats["accept_stat"].shape == (C, 6) and step.shape == (C,)
+    UtU = jnp.einsum("csdni,csdnj->csdij", samples.U, samples.U)
+    assert float(jnp.max(jnp.abs(UtU - jnp.eye(model.r)))) < 1e-3
+
+    # exact per-shard reference: same init split, same fold_in shard keys
+    kp, ks = jax.random.split(key)
+    params0 = jax.vmap(model.init_params)(jax.random.split(kp, C))
+    params0 = jax.tree.map(lambda a: a.astype(synth.phi.dtype), params0)
+    per = C // 4
+    ref_w = []
+    for i in range(4):
+        shard = jax.tree.map(lambda a: a[i * per:(i + 1) * per], params0)
+        s_i, _, _, _ = run_manifold_nuts_chains(
+            model, shard, jax.random.fold_in(ks, i), synth.phi, y, eps=eps,
+            num_warmup=5, num_samples=6, config=cfg,
+        )
+        ref_w.append(np.asarray(jnp.swapaxes(s_i.w, 0, 1)))
+    np.testing.assert_allclose(
+        np.asarray(samples.w), np.concatenate(ref_w, axis=0), atol=1e-5)
