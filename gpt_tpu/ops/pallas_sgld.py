@@ -518,27 +518,41 @@ def _sgld_kernel(
 
 def _fleet_grad_kernel(
     # static
-    D, n, Q, CB, mc, Mch, signal_var, exact,
+    D, n, r, Q, CB, mc, Mch, signal_var, exact,
     # refs
-    scal_ref, phi_ref, y_ref, wt_ref, Uhat_ref, w_ref,
-    gw_ref, gUhat_ref, wbar_acc, Ubarh_acc,
+    scal_ref, phi_ref, y_ref, wt_ref, U_ref, oh_ref, w_ref,
+    gw_ref, gU_ref, wbar_acc, Ubar_acc,
 ):
-    """Likelihood-gradient kernel in the FOLDED layout: ``Û_d = U_d E_dᵀ``
-    (n, CB·Q) is precomputed outside, so the core-index expansion never
-    happens in-kernel — ``g_d = φ_d @ Û_d`` has full Q-wide lanes at CB=1
-    with ZERO block-diagonal redundancy (the fused SGLD kernel pays CB× on
-    its (CB·r, CB·Q) one-hot matmuls because it must carry U itself for the
-    manifold update; a grad-only consumer doesn't).
+    """Likelihood-gradient kernel, TWO-STAGE exact layout (r5).
 
-    ``exact=True`` runs the WHOLE chain at f32/HIGHEST: required when the
-    consumer is an exact-MH sampler — a bf16 force field is a different
-    potential than the f32 log-density the accept ratio measures, and that
-    mismatch surfaces as leapfrog energy error. Measured on the PP parity
-    config: bf16 forces push the dual-averaged step multiplier from ~0.5
-    down to 0.076 (the sampler protects exactness by crawling), collapsing
-    ESS; f32 forces restore the r3 step sizes at the kernel's locality
-    wins. ``exact=False`` (bf16) remains right for consumers that only
-    need a stochastic-gradient-quality force."""
+    The r4 version precomputed the FOLDED ``Û_d = U_d E_dᵀ`` (n, CB·Q)
+    outside and ran 3-pass (mc, n) @ (n, CB·Q) dots — paying the fold's
+    Q/r ≈ 10× matmul-FLOP redundancy on every pass. The r5 component
+    breakdown (RECORDS ``gmc_leapfrog_breakdown``) showed this kernel IS
+    ~89% of the GMC leapfrog, so the redundancy is the whole game. Now:
+
+    - stage 1: ``temp_d = φ_d @ U_d`` in r-space — 3-pass hi/lo bf16
+      decomposition (rel err ~1e-7) at the INTRINSIC (mc, n) @ (n, CB·r)
+      shape;
+    - stage 2: core-index expansion ``g_d = temp_d @ O_d`` against the
+      block-diagonal 0/1 one-hot — 2-pass hi/lo split of temp: since O is
+      EXACTLY representable in bf16 and the product is element
+      selection/accumulation, ``temph@O + templ@O`` reconstructs
+      ``temp@O`` to ~2⁻¹⁷ relative (vs 4e-3 for a plain bf16 pass — the
+      level that collapses MH step sizes; 1e-5-class force error only
+      perturbs the trajectory, never the accept ratio, since leapfrog is
+      reversible for ANY deterministic force field and H itself stays
+      HIGHEST).
+    - backward mirrors it: 2-pass ``gdbar @ Oᵀ`` back to r-space, then the
+      3-pass (n, mc) @ (mc, CB·r) accumulation — and the gradient leaves
+      the kernel ALREADY in U-layout (the old out-of-kernel HIGHEST unfold
+      einsum disappears).
+
+    Per (chunk, d) matmul passes drop 72M → 33M FLOPs at PP parity shapes
+    (measured end-to-end in RECORDS ``gmc_merged_lanes_median``).
+
+    ``exact=False`` (bf16) single-passes both stages — right for
+    stochastic-gradient-quality consumers."""
     j = pl.program_id(1)
     f32 = jnp.float32
     bf16 = jnp.bfloat16
@@ -547,10 +561,10 @@ def _fleet_grad_kernel(
     @pl.when(j == 0)
     def _():
         wbar_acc[...] = jnp.zeros_like(wbar_acc)
-        Ubarh_acc[...] = jnp.zeros_like(Ubarh_acc)
+        Ubar_acc[...] = jnp.zeros_like(Ubar_acc)
 
     w = w_ref[0]            # (1, CBQ) f32, lanes (chain, q)
-    phi = phi_ref[0]        # (mc, D, n) bf16
+    phi = phi_ref[0]        # (mc, D, n) bf16 (f32 in exact mode)
     y = y_ref[0]            # (mc, 1) f32
     wt = wt_ref[0]          # (mc, 1) f32
     CBQ = CB * Q
@@ -558,18 +572,13 @@ def _fleet_grad_kernel(
     c2q = _group_matrix(CB, Q, transpose=True)            # (CB, CBQ)
 
     w_c = jnp.where(jnp.isfinite(w), w, f32(0))
-    # exact mode: f32 operands, HIGHEST dots. bf16 mode: gs retained bf16 —
-    # the LOO backward needs all D live and their (mc, CB·Q) footprint is
-    # the kernel's VMEM budget; bf16 halves it, letting CB amortise the
-    # phi-chunk HBM reads across chains.
+    # exact mode: f32 retained tensors. bf16 mode: gs retained bf16 — the
+    # LOO backward needs all D live and their (mc, CB·Q) footprint is the
+    # kernel's VMEM budget.
     keep = f32 if exact else bf16
 
-    # Mosaic supports only DEFAULT/HIGHEST dot precisions; exact mode wants
-    # ~f32-quality forces at less than HIGHEST's 6 passes, so do the 3-pass
-    # bf16 decomposition by hand: A@B ~= Ah@Bh + Ah@Bl + Al@Bh with
-    # A = Ah + Al split into leading/residual bf16 parts (rel err ~1e-7,
-    # far above the plain-bf16 threshold that collapses MH step sizes).
     def _dot3(A, B, transpose_a=False):
+        """3-pass hi/lo f32-quality dot (Mosaic has no 3-pass precision)."""
         dn = ((((0,) if transpose_a else (1,)), (0,)), ((), ()))
         if not exact:
             return jax.lax.dot_general(
@@ -586,10 +595,27 @@ def _fleet_grad_kernel(
         out += jax.lax.dot_general(Al, Bh, dimension_numbers=dn,
                                    preferred_element_type=f32)
         return out
+
+    def _expand(A, O, transpose_o=False):
+        """2-pass hi/lo product against an EXACT-bf16 0/1 matrix."""
+        dn = (((1,), (1 if transpose_o else 0,)), ((), ()))
+        if not exact:
+            return jax.lax.dot_general(A.astype(bf16), O,
+                                       dimension_numbers=dn,
+                                       preferred_element_type=f32)
+        Ah = A.astype(bf16)
+        Al = (A - Ah.astype(f32)).astype(bf16)
+        out = jax.lax.dot_general(Ah, O, dimension_numbers=dn,
+                                  preferred_element_type=f32)
+        out += jax.lax.dot_general(Al, O, dimension_numbers=dn,
+                                   preferred_element_type=f32)
+        return out
+
     gs = []
     V = None
     for d in range(D):
-        g = _dot3(phi[:, d, :], Uhat_ref[0, d])           # (mc, CBQ)
+        temp = _dot3(phi[:, d, :], U_ref[0, d])           # (mc, CBr)
+        g = _expand(temp, oh_ref[d])                      # (mc, CBQ)
         gs.append(g.astype(keep))
         V = g if V is None else V * g
     V = jnp.where(jnp.isfinite(V), V, f32(0))
@@ -621,30 +647,36 @@ def _fleet_grad_kernel(
         gdbar = Vbar * loo                                # (mc, CBQ)
         # Mosaic's is_finite wants f32; scrub through a cast
         gdbar = jnp.where(jnp.isfinite(gdbar.astype(f32)), gdbar, keep(0))
-        Ubarh_acc[d] += _dot3(phi[:, d, :], gdbar,
-                              transpose_a=True)           # (n, CBQ)
+        tempbar = _expand(gdbar.astype(f32), oh_ref[d],
+                          transpose_o=True)               # (mc, CBr)
+        Ubar_acc[d] += _dot3(phi[:, d, :], tempbar,
+                             transpose_a=True)            # (n, CBr)
         pre = gs[d] if pre is None else pre * gs[d]
 
     @pl.when(j == Mch - 1)
     def _emit():
         gw_ref[0] = wbar_acc[...]
         for d in range(D):
-            gUhat_ref[0, d] = Ubarh_acc[d]
+            gU_ref[0, d] = Ubar_acc[d]
 
 
-def fleet_grad_likelihood(w3, Uhat4, phi_b, y_b, wts_b, scalars, *,
-                          Q: int, signal_var: float, exact: bool = False,
+def fleet_grad_likelihood(w3, U4, ohf, phi_b, y_b, wts_b, scalars, *,
+                          r: int, signal_var: float, exact: bool = False,
                           interpret: bool = False):
     """Run :func:`_fleet_grad_kernel` over a (chain-blocks, data-chunks)
-    grid. ``w3 (NB, 1, CB·Q)`` f32, ``Uhat4 (NB, D, n, CB·Q)`` bf16 (f32 in
-    exact mode), ``phi_b (Mch, mc, D, n)`` likewise → ``(gw3, gUhat4 f32)``."""
+    grid. ``w3 (NB, 1, CB·Q)`` f32, ``U4 (NB, D, n, CB·r)`` f32 (bf16 ok in
+    bf16 mode), ``ohf (D, CB·r, CB·Q)`` bf16 block one-hots
+    (:func:`block_onehots`), ``phi_b (Mch, mc, D, n)`` → ``(gw3, gU4 f32)``
+    with the U-gradient already in (chain-major) lane layout."""
     NB, one, CBQ = w3.shape
-    NB2, D, n, CBQ2 = Uhat4.shape
+    NB2, D, n, CBr = U4.shape
     Mch, mc, D2, n2 = phi_b.shape
-    assert NB == NB2 and CBQ == CBQ2 and D == D2 and n == n2 and one == 1
-    CB = CBQ // Q
+    assert NB == NB2 and D == D2 and n == n2 and one == 1
+    CB = CBr // r
+    Q = CBQ // CB
+    assert CBr == CB * r and CBQ == CB * Q
     kernel = functools.partial(
-        _fleet_grad_kernel, D, n, Q, CB, mc, Mch, float(signal_var),
+        _fleet_grad_kernel, D, n, r, Q, CB, mc, Mch, float(signal_var),
         bool(exact))
     return pl.pallas_call(
         kernel,
@@ -657,7 +689,9 @@ def fleet_grad_likelihood(w3, Uhat4, phi_b, y_b, wts_b, scalars, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mc, 1), lambda c, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, n, CBQ), lambda c, j: (c, 0, 0, 0),
+            pl.BlockSpec((1, D, n, CBr), lambda c, j: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, CBr, CBQ), lambda c, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, CBQ), lambda c, j: (c, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -665,19 +699,19 @@ def fleet_grad_likelihood(w3, Uhat4, phi_b, y_b, wts_b, scalars, *,
         out_specs=[
             pl.BlockSpec((1, 1, CBQ), lambda c, j: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, n, CBQ), lambda c, j: (c, 0, 0, 0),
+            pl.BlockSpec((1, D, n, CBr), lambda c, j: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((NB, 1, CBQ), jnp.float32),
-            jax.ShapeDtypeStruct((NB, D, n, CBQ), jnp.float32),
+            jax.ShapeDtypeStruct((NB, D, n, CBr), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, CBQ), jnp.float32),
-            pltpu.VMEM((D, n, CBQ), jnp.float32),
+            pltpu.VMEM((D, n, CBr), jnp.float32),
         ],
         interpret=interpret,
-    )(scalars, phi_b, y_b, wts_b, Uhat4, w3)
+    )(scalars, phi_b, y_b, wts_b, U4, ohf, w3)
 
 
 def make_fused_grad_fn(model, phi: jnp.ndarray, y: jnp.ndarray, *,
@@ -690,32 +724,38 @@ def make_fused_grad_fn(model, phi: jnp.ndarray, y: jnp.ndarray, *,
 
     The GMC leapfrog hot path (``GPT_SGLD.jl:684-805``): the XLA merged-lane
     gradient is HBM-bound on the D materialised (N, C, Q) core-product
-    intermediates (measured 2.4 ms/eval at PP parity shapes, precision-
-    independent — SPEEDLIGHT.md); this kernel streams the batch in
-    ``data_chunk`` rows with every intermediate VMEM-resident, accumulating
-    (∇w, ∇Û) across chunks in the FOLDED layout (see
-    :func:`_fleet_grad_kernel` — no one-hot expansion, no CB× redundancy).
-    The one-hot fold/unfold and the prior terms are tiny XLA ops outside.
+    intermediates (measured 2.3 ms/eval at PP parity shapes, precision-
+    independent); this kernel streams the batch in ``data_chunk`` rows with
+    every intermediate VMEM-resident, accumulating (∇w, ∇U) across chunks
+    in the r5 TWO-STAGE layout (see :func:`_fleet_grad_kernel`: intrinsic
+    r-space matmuls + a 2-pass exact one-hot expansion — the r4 folded
+    layout's Q/r ≈ 10× matmul redundancy and its out-of-kernel
+    fold/unfold HIGHEST einsums are gone). Prior terms are tiny XLA ops
+    outside.
 
-    ``exact=True`` (default) keeps the kernel at f32/HIGHEST — REQUIRED for
-    exact-MH consumers: a bf16 force field is a different potential than the
-    f32 log-density the accept ratio measures, and the mismatch surfaces as
-    leapfrog energy error. Measured on the PP parity config: bf16 forces
-    pushed the dual-averaged step multiplier from ~0.5 to 0.076 (the sampler
-    protects exactness by crawling), collapsing ESS to the chain count
-    (RECORDS ``gmc_multichain_diagnostics``); f32 forces restore the r3
-    step sizes while keeping the kernel's locality wins. ``exact=False``
-    (bf16) remains right for stochastic-gradient-quality consumers —
-    gradient rounding then perturbs the trajectory only (leapfrog is
-    reversible for any deterministic force field), never the accept ratio.
+    ``exact=True`` (default) keeps ~f32-quality forces — REQUIRED for
+    exact-MH consumers: a plain-bf16 force field's ~4e-3 relative error
+    surfaces as leapfrog energy error (measured on the PP parity config:
+    bf16 forces pushed the dual-averaged step multiplier from ~0.5 to
+    0.076, collapsing ESS — RECORDS ``gmc_multichain_diagnostics``). The
+    two-stage exact path carries ~1e-5-class error, 100× below that
+    threshold — and any deterministic force field preserves MH exactness
+    (leapfrog stays reversible; H is computed at HIGHEST outside).
+    ``exact=False`` (bf16) remains right for stochastic-gradient-quality
+    consumers.
     """
     from gpt_tpu.ops.contraction import core_indicator
 
     D, n, r, Q = model.D, model.n, model.r, model.Q
     if chain_block is None:
-        chain_block = 4 if exact else 8   # f32 doubles the VMEM footprint
+        # expansion passes scale with CB (block-diag redundancy) but small CB
+        # re-streams phi per block and starves the MXU: CB=4, mc=250 is the
+        # measured sweet spot at PP parity shapes (1.24 ms/eval vs 1.37 at
+        # CB=4/mc=100, 1.78 at CB=2, 1.83 for the r4 folded kernel;
+        # /tmp sweep recorded in RECORDS gmc_grad_kernel_bound)
+        chain_block = 4
     if data_chunk is None:
-        data_chunk = 100 if exact else 125
+        data_chunk = 250
     N = int(y.shape[0])
     mc = int(data_chunk)
     Mch = -(-N // mc)
@@ -744,30 +784,19 @@ def make_fused_grad_fn(model, phi: jnp.ndarray, y: jnp.ndarray, *,
                 CB = cand
                 break
         NB = C // CB
-        # fold: Û_d = U_d E_dᵀ (n, Q); lanes (chain, q) chain-major.
-        # HIGHEST is load-bearing: a one-hot contraction is a pure element
-        # SELECTION, but the DEFAULT TPU einsum is a single bf16 pass that
-        # rounds U itself — which silently turns the exact-mode force field
-        # into the bf16 potential the whole exact path exists to avoid
-        # (measured: accept 0.28 vs 0.89 at the r3 step size).
-        Uhat = jnp.einsum("cdnr,qdr->cdnq", params.U, onehot,
-                          precision=jax.lax.Precision.HIGHEST)
-        Uhat4 = jnp.transpose(
-            Uhat.reshape(NB, CB, D, n, Q), (0, 2, 3, 1, 4)
-        ).reshape(NB, D, n, CB * Q).astype(wire)
+        ohf = block_onehots(onehot, CB)                  # (D, CBr, CBQ)
+        U4 = jnp.transpose(
+            params.U.reshape(NB, CB, D, n, r), (0, 2, 3, 1, 4)
+        ).reshape(NB, D, n, CB * r).astype(wire)
         w3 = params.w.reshape(NB, 1, CB * Q)
-        gw3, gUhat4 = fleet_grad_likelihood(
-            w3, Uhat4, phi_b, y_b, wts_b, scalars,
-            Q=Q, signal_var=signal_var, exact=exact, interpret=interpret,
+        gw3, gU4 = fleet_grad_likelihood(
+            w3, U4, ohf, phi_b, y_b, wts_b, scalars,
+            r=r, signal_var=signal_var, exact=exact, interpret=interpret,
         )
         gw = gw3.reshape(C, Q) - params.w / sigma_w2
-        gUhat = jnp.transpose(
-            gUhat4.reshape(NB, D, n, CB, Q), (0, 3, 1, 2, 4)
-        ).reshape(C, D, n, Q)
-        # unfold (chain rule through the fold): Ū_d = Ûbar_d E_d (HIGHEST —
-        # same element-selection argument as the fold above)
-        gU = jnp.einsum("cdnq,qdr->cdnr", gUhat, onehot,
-                        precision=jax.lax.Precision.HIGHEST)
+        gU = jnp.transpose(
+            gU4.reshape(NB, D, n, CB, r), (0, 3, 1, 2, 4)
+        ).reshape(C, D, n, r)
         if not stiefel_mode:
             gU = gU - n * params.U  # Gaussian N(0, 1/n) prior
         return type(params)(w=gw, U=gU)
