@@ -749,11 +749,13 @@ def make_fused_grad_fn(model, phi: jnp.ndarray, y: jnp.ndarray, *,
     D, n, r, Q = model.D, model.n, model.r, model.Q
     if chain_block is None:
         # expansion passes scale with CB (block-diag redundancy) but small CB
-        # re-streams phi per block and starves the MXU: CB=4, mc=250 is the
-        # measured sweet spot at PP parity shapes (1.24 ms/eval vs 1.37 at
-        # CB=4/mc=100, 1.78 at CB=2, 1.83 for the r4 folded kernel;
-        # /tmp sweep recorded in RECORDS gmc_grad_kernel_bound)
-        chain_block = 4
+        # re-streams phi per block and starves the MXU. Swept on chip at PP
+        # parity shapes: exact (2-pass expansion) bottoms at CB=4/mc=250
+        # (1.24 ms/eval vs 1.37 at mc=100, 1.78 at CB=2, 1.83 for the r4
+        # folded kernel); bf16 (1-pass) at CB=8/mc=250 (1.00 ms) — the MXU
+        # shape win dominates its cheaper redundancy. RECORDS
+        # gmc_grad_kernel_bound holds the stream-bound decomposition.
+        chain_block = 4 if exact else 8
     if data_chunk is None:
         data_chunk = 250
     N = int(y.shape[0])

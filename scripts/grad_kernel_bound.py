@@ -40,7 +40,7 @@ from gpt_tpu.utils.records import append_record
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def stream_time(make_body, init, reps_lo=100, reps_hi=400, rounds=3):
+def stream_time(make_body, init, reps_lo=5000, reps_hi=20000, rounds=3):
     def build(reps):
         @jax.jit
         def prog():
@@ -70,7 +70,7 @@ def mm_stream(key, M, K, N):
 
     def body(c):
         out = jax.lax.dot(
-            A + c[:1, :K].astype(jnp.bfloat16) * 0, B,
+            A + c[:1, :1].astype(jnp.bfloat16) * 0, B,
             preferred_element_type=jnp.float32)
         return out
     return stream_time(body, jnp.zeros((M, N), jnp.float32))
@@ -93,7 +93,8 @@ def main():
     res["mm_bwd_acc"] = mm_stream(key, n, mc, CBr)         # phi^T @ tempbar
     # VPU elementwise at the working shape
     X = jax.random.normal(key, (mc, CBQ), jnp.float32)
-    res["vpu_fma"] = stream_time(lambda c: c * X + 1.000001, X)
+    res["vpu_fma"] = stream_time(lambda c: c * X + 1.000001, X,
+                                 reps_lo=2000, reps_hi=8000)
     for k, v in res.items():
         print(f"{k}: {v*1e6:.2f} us/pass", flush=True)
 
@@ -132,6 +133,8 @@ def main():
 
     t_meas = stream_time(lambda c: dep_tree(c, gfn(c)), params,
                          reps_lo=50, reps_hi=200, rounds=5)
+    assert all(v > 0 for v in res.values()), (
+        f"stream timing noise-dominated: {res}")
 
     rec = dict(
         config=dict(C=C, CB=CB, mc=mc, n=n, r=r, Q=Q, D=Dd, N=N),

@@ -49,7 +49,7 @@ from gpt_tpu.utils.records import append_record
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def stream_time(make_body, init, reps_lo=200, reps_hi=800):
+def stream_time(make_body, init, reps_lo=5000, reps_hi=20000):
     """Per-rep seconds via two-point amortisation inside one jit."""
     def build(reps):
         @jax.jit
