@@ -757,7 +757,11 @@ def make_fused_grad_fn(model, phi: jnp.ndarray, y: jnp.ndarray, *,
         # gmc_grad_kernel_bound holds the stream-bound decomposition.
         chain_block = 4 if exact else 8
     if data_chunk is None:
-        data_chunk = 250
+        # the kernel retains D gs + D suffix tensors of (mc, CB·Q): scale the
+        # chunk so that working set stays ~8 MB of the 16 MB scoped VMEM
+        # (D=8 kin40k at mc=250 measured 22 MB and failed to compile)
+        per_row = 2 * D * chain_block * Q * (4 if exact else 2)
+        data_chunk = max(50, min(250, (8_000_000 // per_row) // 25 * 25))
     N = int(y.shape[0])
     mc = int(data_chunk)
     Mch = -(-N // mc)

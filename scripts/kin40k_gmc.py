@@ -72,14 +72,22 @@ def main():
         mean_pred = jnp.mean(model.predict(p, phi_test), axis=0) # (Ntest,)
         return probes, mean_pred
 
-    # SGLD warm start
+    # SGLD warm start. adapt_eps is load-bearing here: at the reference's
+    # kin40k eps (1e-4) 2/16 seeds cascade w to ~1e34 FINITE within 30
+    # epochs (measured r5) — the init-scale trust region rejects the
+    # cascade and η backs off, exactly the temperature-Kron recovery class.
     warm_cfg = SGLDConfig(eps=TensorGPParams(w=P.epsw, U=P.epsU),
-                          transport="polar")
+                          transport="polar", adapt_eps=True)
     inits = jax.vmap(model.init_params)(jax.random.split(kp, C))
     warm, _ = run_sgld(model, inits, jax.random.fold_in(ks, 1), phi, y,
                        m=P.m, config=warm_cfg, burnin=30, maxepoch=0,
                        collect_fn=lambda p: ())
     params = warm.params
+    wn = jnp.linalg.norm(params.w, axis=-1)
+    print(f"warm start: rejected={int(warm.rejected)} "
+          f"w-norm range [{float(wn.min()):.2f}, {float(wn.max()):.2f}]",
+          flush=True)
+    assert bool(jnp.all(wn < 1e4)), "warm start diverged"
 
     cfg = GMCConfig(eps=TensorGPParams(w=P.epsw, U=P.epsU), num_leapfrog=L,
                     jitter_steps=True, adapt_step_size=True,
