@@ -57,9 +57,57 @@ def rmse(a, b):
     return float(np.sqrt(np.mean((np.asarray(a) - np.asarray(b)) ** 2)))
 
 
-def train_sgld(fold, r, sigma_u, epochs, key):
+class _Run:
+    """run_movielens-compatible result shell for the segmented trainer."""
+
+    def __init__(self, best_pred, avg_test_rmse):
+        self.best_pred = best_pred
+        self.avg_test_rmse = avg_test_rmse
+        self.best_epoch = int(np.argmin(avg_test_rmse))
+
+
+def train_sgld(fold, r, sigma_u, epochs, key, seg=400):
+    """Segmented equivalent of run_movielens (the tunnelled chip kills the
+    single-dispatch 6000-epoch scan): params chain across `seg`-epoch
+    dispatches; the running-average prediction curve is computed over the
+    concatenated per-epoch test predictions exactly as run_movielens does."""
+    from functools import partial
+
+    from gpt_tpu.experiments.movielens import build_cf_model, ratings_batch
+    from gpt_tpu.inference import SGLDConfig, run_sgld
+    from gpt_tpu.models.cf import CFParams, denormalize_and_cutoff
+
     preset = dataclasses.replace(C.MOVIELENS_100K, r=r, sigma_u=sigma_u)
-    return run_movielens(fold, preset, key, maxepoch=epochs)
+    if epochs <= seg:
+        return run_movielens(fold, preset, key, maxepoch=epochs)
+    model = build_cf_model(fold, preset, side_info=True)
+    kp, ks = jax.random.split(key)
+    params = model.init_params(kp)
+    train_batch, y_train = ratings_batch(jnp.asarray(fold.train, jnp.float32))
+    test_batch, y_test = ratings_batch(jnp.asarray(fold.test, jnp.float32))
+    config = SGLDConfig(
+        eps=CFParams(U=preset.epsU, V=preset.epsU, w=preset.epsw))
+    run = jax.jit(partial(
+        run_sgld, model, phi=train_batch, y=y_train, m=preset.m,
+        config=config, burnin=0, maxepoch=seg,
+        collect_fn=lambda p: model.predict(p, test_batch),
+    ))
+    fhats = []
+    for s in range(-(-epochs // seg)):
+        final, fh = run(params, jax.random.fold_in(ks, s))
+        jax.block_until_ready(fh)
+        params = final.params
+        fhats.append(np.asarray(fh))
+        print(f"  seg {s+1}: epochs {(s+1)*seg}", flush=True)
+    fhat = np.concatenate(fhats, axis=0)[:epochs]      # (E, Ntest) z-scored
+    y_raw = np.asarray(y_test) * fold.rating_std + fold.rating_mean
+    E = fhat.shape[0]
+    running = np.cumsum(fhat, axis=0) / np.arange(1, E + 1)[:, None]
+    run_cut = np.asarray(denormalize_and_cutoff(
+        jnp.asarray(running), fold.rating_mean, fold.rating_std))
+    avg_test_rmse = np.sqrt(np.mean((run_cut - y_raw) ** 2, axis=1))
+    best = int(np.argmin(avg_test_rmse))
+    return _Run(run_cut[best], avg_test_rmse)
 
 
 def main():
